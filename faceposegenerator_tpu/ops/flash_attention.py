@@ -1,0 +1,190 @@
+"""Pallas TPU flash attention (forward) with online softmax.
+
+Serves the UNet's 4096-token latent self-attention and 77-token text
+cross-attention (SURVEY.md §2.6: the xFormers/cuDNN attention the reference
+enables at `train_ID-Booth.py:653-664` becomes a first-class TPU kernel).
+
+Design:
+  - Layout (B, S, H, D) is flattened to (B*H, S, D); grid is
+    (B*H, Sq/bq, Skv/bk) with the KV dimension innermost and sequential
+    ("arbitrary"), accumulating the online-softmax state (m, l, acc) in VMEM
+    scratch; the output tile is written once at the final KV block.
+  - Softmax statistics in fp32; QKᵀ and PV ride the MXU with fp32
+    accumulation (`preferred_element_type`).
+  - Padded KV positions (e.g. 77 text tokens padded to 128 lanes) are masked
+    with a large negative finite value; exp underflow to exactly 0 makes the
+    padded columns contribute nothing.
+  - Backward: custom_vjp recomputes attention with the jnp reference path
+    (rematerialisation — trade FLOPs for memory, no O(S²) residuals saved).
+    A fused Pallas backward is a later optimisation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too; kernels run via interpret mode there
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def flash_supported(q, k, v) -> bool:
+    """Flash path is used on TPU backends for fp32/bf16 inputs."""
+    if pltpu is None:
+        return False
+    if q.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (bk, D)
+    v = v_ref[0]  # (bk, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # (bq, bk) fp32
+
+    if kv_len is not None:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # (bq, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # (bq, bk)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    """q: (BH, Sq, D); k, v: (BH, Skv, D). Returns (BH, Sq, D)."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    pad_q = (-sq) % block_q
+    pad_k = (-skv) % block_k
+    if pad_k and kv_len is None:
+        kv_len = skv
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    sq_p, skv_p = sq + pad_q, skv + pad_k
+
+    grid = (bh, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+    )
+    compiler_params = None
+    if pltpu is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q, k, v)
+    if pad_q:
+        out = out[:, :sq]
+    return out
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    q3 = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    k3 = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    v3 = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    o3 = _flash_fwd_3d(q3, k3, v3, scale, kv_len, block_q, block_k, interpret)
+    return o3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _flash_fwd_rule(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    out = _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd_rule(scale, kv_len, block_q, block_k, interpret, res, g):
+    from .attention import _reference_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _reference_attention(q, k, v, scale, kv_len), q, k, v
+    )
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention over (B, S, H, D) tensors; non-causal."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret)

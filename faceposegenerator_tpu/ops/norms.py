@@ -1,0 +1,109 @@
+"""Normalisation ops with fp32 statistics.
+
+GroupNorm(+SiLU) is the elementwise glue of every UNet/VAE resblock
+(SURVEY.md §2.6); it is written so XLA fuses the normalisation into the
+surrounding convolution epilogue. Layout is NHWC (channels-last — the TPU
+native conv layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def group_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    act: Optional[str] = None,
+) -> jax.Array:
+    """GroupNorm over NHWC (or N...C) with optional fused SiLU activation."""
+    orig_dtype = x.dtype
+    n = x.shape[0]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    xg = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(n, *spatial, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    elif act is not None:
+        raise ValueError(act)
+    return out.astype(orig_dtype)
+
+
+def layer_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-5,
+) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, gamma: jax.Array, eps: float = 1e-6) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    return (x32 * scale * gamma.astype(jnp.float32)).astype(x.dtype)
+
+
+def batch_norm_inference(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Inference-mode BatchNorm (frozen running stats) — folds to a single
+    scale+shift; used by the frozen ArcFace IResNet (SURVEY.md §2.2)."""
+    scale = gamma.astype(jnp.float32) * jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    shift = beta.astype(jnp.float32) - mean.astype(jnp.float32) * scale
+    return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+
+
+def batch_norm_train(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+):
+    """Training-mode BatchNorm over NHWC (stats over N,H,W) or NC.
+
+    Returns (out, new_running_mean, new_running_var). If `axis_name` is given
+    the batch statistics are psum-averaged across that mesh axis (the
+    cross-replica sync DDP gives the reference for free).
+    """
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=axes)
+    var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        var = jax.lax.pmean(var, axis_name)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    unbiased = var * (n / max(n - 1, 1))
+    new_mean = (1 - momentum) * running_mean + momentum * mean
+    new_var = (1 - momentum) * running_var + momentum * unbiased
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32) + beta.astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype), new_mean, new_var

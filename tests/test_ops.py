@@ -1,0 +1,147 @@
+"""Kernel/ops unit tests: flash attention vs jnp reference einsum, norms vs
+torch oracles, LoRA algebra (SURVEY.md §4 implication)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faceposegenerator_tpu.ops.attention import dot_product_attention, _reference_attention
+from faceposegenerator_tpu.ops.flash_attention import flash_attention
+from faceposegenerator_tpu.ops.norms import (
+    batch_norm_train,
+    batch_norm_inference,
+    group_norm,
+    layer_norm,
+)
+from faceposegenerator_tpu.ops.lora import lora_dense, init_lora_pair
+
+
+def _qkv(key, b, sq, skv, h, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(jax.random.key(key), 3)
+    return (
+        jax.random.normal(kq, (b, sq, h, d), dtype),
+        jax.random.normal(kk, (b, skv, h, d), dtype),
+        jax.random.normal(kv, (b, skv, h, d), dtype),
+    )
+
+
+@pytest.mark.parametrize("sq,skv", [(256, 256), (512, 512), (512, 77)])
+def test_flash_vs_reference(sq, skv):
+    q, k, v = _qkv(0, 2, sq, skv, 3, 64)
+    ref = _reference_attention(q, k, v, 64**-0.5, None)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_kv_mask_matches_truncated():
+    """Padded+masked KV must equal attention over the unpadded KV."""
+    q, k, v = _qkv(1, 1, 128, 128, 2, 64)
+    kv_len = 77
+    ref = _reference_attention(q, k[:, :kv_len], v[:, :kv_len], 64**-0.5, None)
+    out = flash_attention(q, k, v, kv_len=kv_len, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_unaligned_seq_padding():
+    q, k, v = _qkv(2, 1, 200, 200, 1, 64)
+    ref = _reference_attention(q, k, v, 64**-0.5, None)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    q, k, v = _qkv(3, 1, 128, 128, 2, 64)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, 64**-0.5, None) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_dispatch_reference_on_cpu():
+    q, k, v = _qkv(4, 1, 64, 64, 1, 32)
+    out = dot_product_attention(q, k, v)  # auto → reference on CPU
+    ref = _reference_attention(q, k, v, 32**-0.5, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_group_norm_vs_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).standard_normal((2, 8, 8, 32)).astype(np.float32)
+    gamma = np.random.default_rng(1).standard_normal(32).astype(np.float32)
+    beta = np.random.default_rng(2).standard_normal(32).astype(np.float32)
+    out = group_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), num_groups=8, eps=1e-6)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW for torch
+    tout = torch.nn.functional.group_norm(
+        tx, 8, torch.from_numpy(gamma), torch.from_numpy(beta), eps=1e-6
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), tout, atol=1e-5)
+
+
+def test_layer_norm_vs_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(3).standard_normal((2, 7, 48)).astype(np.float32)
+    g = np.random.default_rng(4).standard_normal(48).astype(np.float32)
+    b = np.random.default_rng(5).standard_normal(48).astype(np.float32)
+    out = layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    tout = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (48,), torch.from_numpy(g), torch.from_numpy(b)
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), tout, atol=1e-5)
+
+
+def test_batch_norm_train_vs_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((4, 5, 5, 16)).astype(np.float32)
+    g = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    rm = np.zeros(16, np.float32)
+    rv = np.ones(16, np.float32)
+    out, nm, nv = batch_norm_train(
+        jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), jnp.asarray(rm), jnp.asarray(rv)
+    )
+    bn = torch.nn.BatchNorm2d(16)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(g))
+        bn.bias.copy_(torch.from_numpy(b))
+    bn.train()
+    tout = bn(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nm), bn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nv), bn.running_var.numpy(), atol=1e-4)
+    # inference mode folds to scale+shift
+    out_inf = batch_norm_inference(
+        jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), nm, nv
+    )
+    bn.eval()
+    tinf = bn(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out_inf), tinf, atol=1e-4)
+
+
+def test_lora_dense_zero_b_is_identity():
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (3, 16))
+    w = jax.random.normal(jax.random.key(1), (8, 16))
+    a, b = init_lora_pair(jax.random.key(2), 8, 16, rank=4)
+    base = lora_dense(x, w)
+    with_zero = lora_dense(x, w, lora_a=a, lora_b=b)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_zero), atol=1e-6)
+
+
+def test_lora_dense_matches_merged_weight():
+    x = jax.random.normal(jax.random.key(3), (5, 16))
+    w = jax.random.normal(jax.random.key(4), (8, 16))
+    a = jax.random.normal(jax.random.key(5), (4, 16))
+    b = jax.random.normal(jax.random.key(6), (8, 4))
+    scale = 0.5
+    factored = lora_dense(x, w, lora_a=a, lora_b=b, scale=scale)
+    merged = x @ (w + scale * b @ a).T
+    np.testing.assert_allclose(np.asarray(factored), np.asarray(merged), atol=1e-4)
