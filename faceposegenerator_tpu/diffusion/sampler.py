@@ -1,0 +1,138 @@
+"""Single-jit txt2img sampler: CLIP → N×(UNet ×2 CFG → scheduler step) → VAE.
+
+This is the TPU-native rebuild of the reference's hot loop — diffusers'
+`StableDiffusionPipeline.__call__` with DDPM scheduler, 30 steps, CFG 5.0 at
+512² (`inference_ID-Booth.py:48-50,138`) — as ONE compiled XLA program:
+text encoding, the denoising `lax.fori_loop` (UNet batched over [uncond;
+cond] for classifier-free guidance), and the VAE decode all fuse into a
+single device program with zero host round-trips.
+
+Noise handling: the initial latent and each step's DDPM noise come from a
+single PRNG key (`fold_in` per step), or can be supplied pre-drawn
+(`noise_override`) for bit-parity testing against the reference
+(SURVEY.md §7 hard part (a)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import Policy, DEFAULT_POLICY
+from ..models import clip_text, unet2d, vae
+from .schedulers import DDPMSchedule, DPMSolverSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerModels:
+    """Static bundle: configs are hashable; params are passed separately."""
+
+    text_cfg: clip_text.CLIPTextConfig = clip_text.SD21_TEXT_CONFIG
+    unet_cfg: unet2d.UNetConfig = unet2d.SD21_UNET_CONFIG
+    vae_cfg: vae.VAEConfig = vae.SD_VAE_CONFIG
+    attn_impl: str = "auto"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models", "guidance_scale", "height", "width", "policy", "scheduler"),
+)
+def sample(
+    params: dict,
+    schedule: DDPMSchedule | DPMSolverSchedule,
+    input_ids: jax.Array,
+    negative_input_ids: jax.Array,
+    key: jax.Array,
+    *,
+    models: SamplerModels = SamplerModels(),
+    guidance_scale: float = 5.0,
+    height: int = 512,
+    width: int = 512,
+    policy: Policy = DEFAULT_POLICY,
+    scheduler: str = "ddpm",
+    lora: Optional[dict] = None,
+    lora_scale: float | jax.Array = 1.0,
+    noise_override: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generate images.
+
+    params: {"text_encoder", "unet", "vae"} param pytrees.
+    input_ids / negative_input_ids: (B, 77) tokenized prompts (the reference
+    passes `prompt` + `negative_prompt` to the pipeline,
+    `inference_ID-Booth.py:138`).
+    Returns (B, H, W, 3) images in [0, 1] fp32.
+
+    `noise_override`: optional (S+1, B, h, w, 4) — initial latent noise at
+    index 0 then per-step DDPM noise; replaces the PRNG stream for parity
+    testing.
+    """
+    B = input_ids.shape[0]
+    h, w = height // 8, width // 8
+    S = schedule.num_inference_steps
+
+    # --- text conditioning: [uncond; cond] in one batch (CFG pair) ---------
+    ids = jnp.concatenate([negative_input_ids, input_ids], axis=0)
+    ctx = clip_text.apply(
+        params["text_encoder"], ids, models.text_cfg, policy=policy,
+        lora=None if lora is None else lora.get("text_encoder"),
+        lora_scale=lora_scale,
+    )
+
+    # --- initial latents ---------------------------------------------------
+    if noise_override is not None:
+        x = noise_override[0]
+    else:
+        key, sub = jax.random.split(key)
+        x = jax.random.normal(sub, (B, h, w, 4), jnp.float32)
+    # DDPM init: x_T ~ N(0, I) scaled by the scheduler's init sigma (=1)
+
+    unet_lora = None if lora is None else lora.get("unet")
+
+    def unet_eps(x, t):
+        lat = jnp.concatenate([x, x], axis=0)
+        eps = unet2d.apply(
+            params["unet"], lat, jnp.broadcast_to(t, (2 * B,)), ctx,
+            models.unet_cfg, policy=policy,
+            lora=unet_lora, lora_scale=lora_scale,
+            attn_impl=models.attn_impl,
+        )
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    if scheduler == "ddpm":
+
+        def body(i, x):
+            t = schedule.timesteps[i]
+            eps = unet_eps(x, t)
+            if noise_override is not None:
+                noise = noise_override[i + 1]
+            else:
+                noise = jax.random.normal(
+                    jax.random.fold_in(key, i), x.shape, jnp.float32
+                )
+            x, _ = schedule.step(eps, i, x, noise)
+            return x
+
+        x = jax.lax.fori_loop(0, S, body, x)
+
+    elif scheduler == "dpm":
+
+        def body(i, state):
+            t = schedule.timesteps[i]
+            eps = unet_eps(state[0], t)
+            state, _ = schedule.step(eps, i, state)
+            return state
+
+        state = (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.int32(0))
+        x = jax.lax.fori_loop(0, S, body, state)[0]
+
+    else:
+        raise ValueError(scheduler)
+
+    # --- decode ------------------------------------------------------------
+    images = vae.decode(params["vae"], x, models.vae_cfg, policy=policy)
+    return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)

@@ -1,0 +1,443 @@
+"""SD2.1 UNet2DCondition in functional JAX (NHWC, TPU-native layout).
+
+Replaces the diffusers `UNet2DConditionModel` the reference loads from
+SD2.1-base (`train_ID-Booth.py:620-630`; sampled 60×/image inside
+`inference_ID-Booth.py:138`'s 30-step CFG loop). Operating point (SD2.1-base
+`unet/config.json` semantics): in/out 4 channels, block channels
+(320, 640, 1280, 1280), 2 resnet layers per block, cross-attention dim 1024,
+64-dim attention heads (5/10/20/20 heads per level), linear transformer
+projections, GN(32, eps 1e-5) in resnets / GN(32, eps 1e-6) in transformers,
+GEGLU feed-forward, epsilon prediction.
+
+Design notes (TPU-first):
+  - NHWC everywhere; convs via `lax.conv_general_dilated` with HWIO weights.
+  - Attention dispatches to the Pallas flash kernel on TPU (4096-token
+    self-attention, padded/masked 77-token cross-attention).
+  - Params are a nested pytree with torch-Linear orientation so the
+    safetensors bridge is pure key mapping; LoRA is threaded *factored*
+    through the six attention projections (`train_ID-Booth.py:676`) so
+    checkpoint swaps never change program structure (no recompile).
+  - Optional `remat` wraps each block in `jax.checkpoint` (the TPU
+    equivalent of `gradient_checkpointing`, `configs/config_train_SD21.py:52`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import Policy, DEFAULT_POLICY
+from ..ops.attention import dot_product_attention
+from ..ops.norms import group_norm, layer_norm
+from ..ops.lora import lora_dense
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    head_dim: int = 64
+    norm_groups: int = 32
+    down_block_has_attn: Sequence[bool] = (True, True, True, False)
+    transformer_layers: int = 1
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+SD21_UNET_CONFIG = UNetConfig()
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def conv2d(x, p, stride=1, padding=1):
+    """NHWC conv with HWIO weights + bias."""
+    dn = jax.lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
+    pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + p["b"].astype(x.dtype)
+
+
+def timestep_embedding(t: jax.Array, dim: int, flip_sin_to_cos: bool, freq_shift: float, max_period: float = 10000.0):
+    """Sinusoidal timestep features, diffusers `Timesteps` semantics."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = t.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype):
+    fan_in = kh * kw * cin
+    scale = (1.0 / fan_in) ** 0.5
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(k1, (kh, kw, cin, cout), dtype, -scale, scale),
+        "b": jax.random.uniform(k2, (cout,), dtype, -scale, scale),
+    }
+
+
+def _dense_init(key, cout, cin, dtype, bias=True):
+    scale = (1.0 / cin) ** 0.5
+    k1, k2 = jax.random.split(key)
+    p = {"w": jax.random.uniform(k1, (cout, cin), dtype, -scale, scale)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (cout,), dtype, -scale, scale)
+    return p
+
+
+def _gn_init(c, dtype):
+    return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+
+def _ln_init(c, dtype):
+    return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+
+def _resblock_init(key, cin, cout, temb_dim, dtype):
+    ks = jax.random.split(key, 4)
+    p = {
+        "norm1": _gn_init(cin, dtype),
+        "conv1": _conv_init(ks[0], 3, 3, cin, cout, dtype),
+        "time_emb_proj": _dense_init(ks[1], cout, temb_dim, dtype),
+        "norm2": _gn_init(cout, dtype),
+        "conv2": _conv_init(ks[2], 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _conv_init(ks[3], 1, 1, cin, cout, dtype)
+    return p
+
+
+def _attn_init(key, dim, ctx_dim, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": _dense_init(ks[0], dim, dim, dtype, bias=False),
+        "k": _dense_init(ks[1], dim, ctx_dim, dtype, bias=False),
+        "v": _dense_init(ks[2], dim, ctx_dim, dtype, bias=False),
+        "out": _dense_init(ks[3], dim, dim, dtype, bias=True),
+    }
+
+
+def _transformer_init(key, cfg: UNetConfig, dim, dtype):
+    ks = jax.random.split(key, 4 + 2 * cfg.transformer_layers)
+    blocks = []
+    for i in range(cfg.transformer_layers):
+        bk = jax.random.split(ks[4 + i], 5)
+        blocks.append(
+            {
+                "ln1": _ln_init(dim, dtype),
+                "attn1": _attn_init(bk[0], dim, dim, dtype),
+                "ln2": _ln_init(dim, dtype),
+                "attn2": _attn_init(bk[1], dim, cfg.cross_attention_dim, dtype),
+                "ln3": _ln_init(dim, dtype),
+                "ff_in": _dense_init(bk[2], dim * 8, dim, dtype),  # GEGLU: 2×4h
+                "ff_out": _dense_init(bk[3], dim, dim * 4, dtype),
+            }
+        )
+    return {
+        "norm": _gn_init(dim, dtype),
+        "proj_in": _dense_init(ks[0], dim, dim, dtype),
+        "proj_out": _dense_init(ks[1], dim, dim, dtype),
+        "blocks": blocks,
+    }
+
+
+def init(key: jax.Array, cfg: UNetConfig = SD21_UNET_CONFIG, dtype=jnp.float32):
+    C = list(cfg.block_out_channels)
+    temb = cfg.time_embed_dim
+    keys = iter(jax.random.split(key, 256))
+    nk = lambda: next(keys)
+
+    params = {
+        "conv_in": _conv_init(nk(), 3, 3, cfg.in_channels, C[0], dtype),
+        "time_embedding": {
+            "linear_1": _dense_init(nk(), temb, C[0], dtype),
+            "linear_2": _dense_init(nk(), temb, temb, dtype),
+        },
+        "down_blocks": [],
+        "mid_block": None,
+        "up_blocks": [],
+        "conv_norm_out": _gn_init(C[0], dtype),
+        "conv_out": _conv_init(nk(), 3, 3, C[0], cfg.out_channels, dtype),
+    }
+
+    # down path
+    cin = C[0]
+    for lvl, cout in enumerate(C):
+        is_last = lvl == len(C) - 1
+        block = {"resnets": [], "attentions": [] if cfg.down_block_has_attn[lvl] else None}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(_resblock_init(nk(), cin if j == 0 else cout, cout, temb, dtype))
+            if cfg.down_block_has_attn[lvl]:
+                block["attentions"].append(_transformer_init(nk(), cfg, cout, dtype))
+        block["downsample"] = None if is_last else _conv_init(nk(), 3, 3, cout, cout, dtype)
+        params["down_blocks"].append(block)
+        cin = cout
+
+    # mid
+    params["mid_block"] = {
+        "resnets": [
+            _resblock_init(nk(), C[-1], C[-1], temb, dtype),
+            _resblock_init(nk(), C[-1], C[-1], temb, dtype),
+        ],
+        "attentions": [_transformer_init(nk(), cfg, C[-1], dtype)],
+    }
+
+    # up path (reversed channels, layers_per_block+1 resnets, skip concats)
+    rev = list(reversed(C))  # (1280, 1280, 640, 320)
+    has_attn_rev = list(reversed(cfg.down_block_has_attn))
+    prev_out = C[-1]
+    for lvl, cout in enumerate(rev):
+        is_last = lvl == len(rev) - 1
+        block = {"resnets": [], "attentions": [] if has_attn_rev[lvl] else None}
+        for j in range(cfg.layers_per_block + 1):
+            res_skip = rev[min(lvl + 1, len(rev) - 1)] if j == cfg.layers_per_block else cout
+            rin = prev_out if j == 0 else cout
+            block["resnets"].append(_resblock_init(nk(), rin + res_skip, cout, temb, dtype))
+            if has_attn_rev[lvl]:
+                block["attentions"].append(_transformer_init(nk(), cfg, cout, dtype))
+        block["upsample"] = None if is_last else _conv_init(nk(), 3, 3, cout, cout, dtype)
+        params["up_blocks"].append(block)
+        prev_out = cout
+
+    return params
+
+
+# ---------------------------------------------------------------------------
+# LoRA pytree (matches attention structure; fixed rank, zero-init B)
+# ---------------------------------------------------------------------------
+
+
+def init_lora(key: jax.Array, params, rank: int = 4, dtype=jnp.float32, targets=("q", "k", "v", "out")):
+    """Gaussian-A/zero-B LoRA pairs for every attention projection in the
+    UNet, mirroring peft target modules to_k,to_q,to_v,to_out.0
+    (`train_ID-Booth.py:676`). Returns a pytree with the same block layout as
+    `params` but containing only attention entries."""
+    keys = iter(jax.random.split(key, 1024))
+
+    def attn_lora(attn):
+        out = {}
+        for name in targets:
+            w = attn[name]["w"]
+            a = jax.random.normal(next(keys), (rank, w.shape[1]), dtype) / rank
+            b = jnp.zeros((w.shape[0], rank), dtype)
+            out[name] = {"a": a, "b": b}
+        return out
+
+    def transformer_lora(tr):
+        return {"blocks": [{"attn1": attn_lora(b["attn1"]), "attn2": attn_lora(b["attn2"])} for b in tr["blocks"]]}
+
+    def block_lora(block):
+        if block.get("attentions") is None:
+            return {"attentions": None}
+        return {"attentions": [transformer_lora(t) for t in block["attentions"]]}
+
+    return {
+        "down_blocks": [block_lora(b) for b in params["down_blocks"]],
+        "mid_block": block_lora(params["mid_block"]),
+        "up_blocks": [block_lora(b) for b in params["up_blocks"]],
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def _resblock_apply(p, x, temb, policy: Policy):
+    h = group_norm(x, p["norm1"]["g"], p["norm1"]["b"], num_groups=32, eps=1e-5, act="silu")
+    h = conv2d(h, p["conv1"])
+    t = lora_dense(jax.nn.silu(temb), p["time_emb_proj"]["w"], p["time_emb_proj"]["b"])
+    h = h + t[:, None, None, :].astype(h.dtype)
+    h = group_norm(h, p["norm2"]["g"], p["norm2"]["b"], num_groups=32, eps=1e-5, act="silu")
+    h = conv2d(h, p["conv2"])
+    if "conv_shortcut" in p:
+        x = conv2d(x, p["conv_shortcut"], padding=0)
+    return x + h
+
+
+def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="auto", kv_len=None):
+    """x: (B, S, C) queries; ctx: (B, Skv, Cctx) keys/values."""
+    b, s, c = x.shape
+    nh = c // head_dim
+
+    def proj(name, inp):
+        la = None if lora is None else lora.get(name)
+        return lora_dense(
+            inp, p[name]["w"], p[name].get("b"),
+            lora_a=None if la is None else la["a"],
+            lora_b=None if la is None else la["b"],
+            scale=lora_scale,
+        )
+
+    q = proj("q", x).reshape(b, s, nh, head_dim)
+    k = proj("k", ctx).reshape(b, ctx.shape[1], nh, head_dim)
+    v = proj("v", ctx).reshape(b, ctx.shape[1], nh, head_dim)
+    o = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len).reshape(b, s, c)
+    return proj("out", o)
+
+
+def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, attn_impl="auto", ctx_len=None):
+    b, hh, ww, c = x.shape
+    res = x
+    h = group_norm(x, p["norm"]["g"], p["norm"]["b"], num_groups=32, eps=1e-6)
+    h = h.reshape(b, hh * ww, c)
+    h = lora_dense(h, p["proj_in"]["w"], p["proj_in"]["b"])
+    for i, blk in enumerate(p["blocks"]):
+        blora = None if lora is None else lora["blocks"][i]
+        r = h
+        hn = layer_norm(h, blk["ln1"]["g"], blk["ln1"]["b"])
+        h = r + _attention_apply(
+            blk["attn1"], hn, hn, cfg.head_dim,
+            lora=None if blora is None else blora["attn1"],
+            lora_scale=lora_scale, attn_impl=attn_impl,
+        )
+        r = h
+        hn = layer_norm(h, blk["ln2"]["g"], blk["ln2"]["b"])
+        h = r + _attention_apply(
+            blk["attn2"], hn, ctx, cfg.head_dim,
+            lora=None if blora is None else blora["attn2"],
+            lora_scale=lora_scale, attn_impl=attn_impl, kv_len=ctx_len,
+        )
+        r = h
+        hn = layer_norm(h, blk["ln3"]["g"], blk["ln3"]["b"])
+        ff = lora_dense(hn, blk["ff_in"]["w"], blk["ff_in"]["b"])
+        # GEGLU: first half is the value, second half is the gelu gate
+        val, gate = jnp.split(ff, 2, axis=-1)
+        h = r + lora_dense(val * jax.nn.gelu(gate, approximate=False), blk["ff_out"]["w"], blk["ff_out"]["b"])
+    h = lora_dense(h, p["proj_out"]["w"], p["proj_out"]["b"])
+    return res + h.reshape(b, hh, ww, c)
+
+
+def _downsample(p, x):
+    return conv2d(x, p, stride=2, padding=1)
+
+
+def _upsample(p, x):
+    b, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return conv2d(x, p, stride=1, padding=1)
+
+
+def apply(
+    params,
+    latents: jax.Array,
+    timesteps: jax.Array,
+    encoder_hidden_states: jax.Array,
+    cfg: UNetConfig = SD21_UNET_CONFIG,
+    policy: Policy = DEFAULT_POLICY,
+    lora: Optional[dict] = None,
+    lora_scale: float | jax.Array = 1.0,
+    attn_impl: str = "auto",
+    ctx_len: Optional[int] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Predict noise ε̂.
+
+    latents: (B, H, W, 4) NHWC; timesteps: (B,) or scalar int;
+    encoder_hidden_states: (B, 77, 1024) CLIP conditioning.
+    """
+    x = latents.astype(policy.compute_dtype)
+    ctx = encoder_hidden_states.astype(policy.compute_dtype)
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+    temb = temb.astype(policy.compute_dtype)
+    te = params["time_embedding"]
+    temb = lora_dense(temb, te["linear_1"]["w"], te["linear_1"]["b"])
+    temb = lora_dense(jax.nn.silu(temb), te["linear_2"]["w"], te["linear_2"]["b"])
+
+    maybe_remat = (lambda f: jax.checkpoint(f)) if remat else (lambda f: f)
+
+    x = conv2d(x, params["conv_in"])
+    skips = [x]
+
+    # down path
+    for bi, block in enumerate(params["down_blocks"]):
+        blora = None if lora is None else lora["down_blocks"][bi]
+        for j, rp in enumerate(block["resnets"]):
+
+            @maybe_remat
+            def down_unit(x, temb, ctx, rp=rp, block=block, blora=blora, j=j):
+                h = _resblock_apply(rp, x, temb, policy)
+                if block["attentions"] is not None:
+                    h = _transformer_apply(
+                        block["attentions"][j], h, ctx, cfg,
+                        lora=None if blora is None else blora["attentions"][j],
+                        lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                    )
+                return h
+
+            x = down_unit(x, temb, ctx)
+            skips.append(x)
+        if block["downsample"] is not None:
+            x = _downsample(block["downsample"], x)
+            skips.append(x)
+
+    # mid
+    mid = params["mid_block"]
+    mlora = None if lora is None else lora["mid_block"]
+
+    @maybe_remat
+    def mid_unit(x, temb, ctx):
+        h = _resblock_apply(mid["resnets"][0], x, temb, policy)
+        h = _transformer_apply(
+            mid["attentions"][0], h, ctx, cfg,
+            lora=None if mlora is None else mlora["attentions"][0],
+            lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+        )
+        return _resblock_apply(mid["resnets"][1], h, temb, policy)
+
+    x = mid_unit(x, temb, ctx)
+
+    # up path
+    for bi, block in enumerate(params["up_blocks"]):
+        blora = None if lora is None else lora["up_blocks"][bi]
+        for j, rp in enumerate(block["resnets"]):
+            skip = skips.pop()
+
+            @maybe_remat
+            def up_unit(x, skip, temb, ctx, rp=rp, block=block, blora=blora, j=j):
+                h = _resblock_apply(rp, jnp.concatenate([x, skip.astype(x.dtype)], axis=-1), temb, policy)
+                if block["attentions"] is not None:
+                    h = _transformer_apply(
+                        block["attentions"][j], h, ctx, cfg,
+                        lora=None if blora is None else blora["attentions"][j],
+                        lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                    )
+                return h
+
+            x = up_unit(x, skip, temb, ctx)
+        if block["upsample"] is not None:
+            x = _upsample(block["upsample"], x)
+
+    x = group_norm(x, params["conv_norm_out"]["g"], params["conv_norm_out"]["b"], num_groups=32, eps=1e-5, act="silu")
+    x = conv2d(x, params["conv_out"])
+    return x.astype(jnp.float32)
