@@ -1,0 +1,423 @@
+"""Torch/diffusers checkpoint → JAX pytree converters (the weights bridge).
+
+SURVEY.md §7 stage 2: safetensors/pth → pytrees for SD2.1 (CLIP text
+encoder, UNet, VAE) and the ArcFace IResNet `.pth`
+(`ArcFace_files/ArcFace_functions.py:14-26` loads
+`ArcFace_r100_ms1mv3_backbone.pth`). Conventions:
+
+  - conv weights: torch OIHW → our HWIO (transpose 2,3,1,0)
+  - linear weights: kept in torch (out, in) orientation
+  - GroupNorm/LayerNorm weight/bias → g/b
+  - BatchNorm → params {g, b} + state {mean, var}
+  - the IResNet fc sees a flattened feature map: torch flattens NCHW
+    (c·h·w) while we flatten NHWC (h·w·c) — the fc weight is permuted
+    accordingly so embeddings match bit-for-bit in fp32.
+
+No torch import is required: safetensors files are read with the
+`safetensors` package directly into numpy; `.pth` files fall back to
+`torch.load` (CPU) when torch is present.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models import clip_text, unet2d, vae, iresnet
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_torch_pth(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _conv(sd, prefix, dtype):
+    w = np.asarray(sd[f"{prefix}.weight"])
+    if w.ndim == 2:  # some checkpoints store 1x1 convs as linear
+        w = w[:, :, None, None]
+    return {
+        "w": jnp.asarray(w.transpose(2, 3, 1, 0), dtype),
+        "b": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+    }
+
+
+def _dense(sd, prefix, dtype, bias=True):
+    w = np.asarray(sd[f"{prefix}.weight"])
+    if w.ndim == 4:  # conv1x1 stored where we want a linear
+        w = w[:, :, 0, 0]
+    p = {"w": jnp.asarray(w, dtype)}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{prefix}.bias"], dtype)
+    return p
+
+
+def _norm(sd, prefix, dtype):
+    return {
+        "g": jnp.asarray(sd[f"{prefix}.weight"], dtype),
+        "b": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+    }
+
+
+def _bn(sd, prefix, dtype):
+    return (
+        _norm(sd, prefix, dtype),
+        {
+            "mean": jnp.asarray(sd[f"{prefix}.running_mean"], dtype),
+            "var": jnp.asarray(sd[f"{prefix}.running_var"], dtype),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+def _resblock(sd, p, dtype, temb=True):
+    out = {
+        "norm1": _norm(sd, f"{p}.norm1", dtype),
+        "conv1": _conv(sd, f"{p}.conv1", dtype),
+        "norm2": _norm(sd, f"{p}.norm2", dtype),
+        "conv2": _conv(sd, f"{p}.conv2", dtype),
+    }
+    if temb:
+        out["time_emb_proj"] = _dense(sd, f"{p}.time_emb_proj", dtype)
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{p}.conv_shortcut", dtype)
+    return out
+
+
+def _attn(sd, p, dtype):
+    return {
+        "q": _dense(sd, f"{p}.to_q", dtype, bias=False),
+        "k": _dense(sd, f"{p}.to_k", dtype, bias=False),
+        "v": _dense(sd, f"{p}.to_v", dtype, bias=False),
+        "out": _dense(sd, f"{p}.to_out.0", dtype),
+    }
+
+
+def _transformer(sd, p, dtype, n_blocks=1):
+    blocks = []
+    for i in range(n_blocks):
+        b = f"{p}.transformer_blocks.{i}"
+        blocks.append(
+            {
+                "ln1": _norm(sd, f"{b}.norm1", dtype),
+                "attn1": _attn(sd, f"{b}.attn1", dtype),
+                "ln2": _norm(sd, f"{b}.norm2", dtype),
+                "attn2": _attn(sd, f"{b}.attn2", dtype),
+                "ln3": _norm(sd, f"{b}.norm3", dtype),
+                "ff_in": _dense(sd, f"{b}.ff.net.0.proj", dtype),
+                "ff_out": _dense(sd, f"{b}.ff.net.2", dtype),
+            }
+        )
+    return {
+        "norm": _norm(sd, f"{p}.norm", dtype),
+        "proj_in": _dense(sd, f"{p}.proj_in", dtype),
+        "proj_out": _dense(sd, f"{p}.proj_out", dtype),
+        "blocks": blocks,
+    }
+
+
+def convert_unet_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: unet2d.UNetConfig = unet2d.SD21_UNET_CONFIG,
+    dtype=jnp.float32,
+):
+    params = {
+        "conv_in": _conv(sd, "conv_in", dtype),
+        "time_embedding": {
+            "linear_1": _dense(sd, "time_embedding.linear_1", dtype),
+            "linear_2": _dense(sd, "time_embedding.linear_2", dtype),
+        },
+        "down_blocks": [],
+        "up_blocks": [],
+        "conv_norm_out": _norm(sd, "conv_norm_out", dtype),
+        "conv_out": _conv(sd, "conv_out", dtype),
+    }
+    n_levels = len(cfg.block_out_channels)
+    for i in range(n_levels):
+        p = f"down_blocks.{i}"
+        has_attn = cfg.down_block_has_attn[i]
+        block = {
+            "resnets": [
+                _resblock(sd, f"{p}.resnets.{j}", dtype) for j in range(cfg.layers_per_block)
+            ],
+            "attentions": (
+                [
+                    _transformer(sd, f"{p}.attentions.{j}", dtype, cfg.transformer_layers)
+                    for j in range(cfg.layers_per_block)
+                ]
+                if has_attn
+                else None
+            ),
+            "downsample": (
+                _conv(sd, f"{p}.downsamplers.0.conv", dtype)
+                if f"{p}.downsamplers.0.conv.weight" in sd
+                else None
+            ),
+        }
+        params["down_blocks"].append(block)
+
+    params["mid_block"] = {
+        "resnets": [
+            _resblock(sd, "mid_block.resnets.0", dtype),
+            _resblock(sd, "mid_block.resnets.1", dtype),
+        ],
+        "attentions": [_transformer(sd, "mid_block.attentions.0", dtype, cfg.transformer_layers)],
+    }
+
+    has_attn_rev = list(reversed(cfg.down_block_has_attn))
+    for i in range(n_levels):
+        p = f"up_blocks.{i}"
+        block = {
+            "resnets": [
+                _resblock(sd, f"{p}.resnets.{j}", dtype)
+                for j in range(cfg.layers_per_block + 1)
+            ],
+            "attentions": (
+                [
+                    _transformer(sd, f"{p}.attentions.{j}", dtype, cfg.transformer_layers)
+                    for j in range(cfg.layers_per_block + 1)
+                ]
+                if has_attn_rev[i]
+                else None
+            ),
+            "upsample": (
+                _conv(sd, f"{p}.upsamplers.0.conv", dtype)
+                if f"{p}.upsamplers.0.conv.weight" in sd
+                else None
+            ),
+        }
+        params["up_blocks"].append(block)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+
+def _vae_attn(sd, p, dtype):
+    """Handles both modern (to_q/to_out.0, group_norm) and legacy
+    (query/proj_attn) diffusers VAE attention key layouts."""
+    if f"{p}.to_q.weight" in sd:
+        names = {"q": "to_q", "k": "to_k", "v": "to_v", "out": "to_out.0", "norm": "group_norm"}
+    else:
+        names = {"q": "query", "k": "key", "v": "value", "out": "proj_attn", "norm": "group_norm"}
+    return {
+        "norm": _norm(sd, f"{p}.{names['norm']}", dtype),
+        "q": _dense(sd, f"{p}.{names['q']}", dtype),
+        "k": _dense(sd, f"{p}.{names['k']}", dtype),
+        "v": _dense(sd, f"{p}.{names['v']}", dtype),
+        "out": _dense(sd, f"{p}.{names['out']}", dtype),
+    }
+
+
+def _vae_mid(sd, p, dtype):
+    return {
+        "res1": _resblock(sd, f"{p}.resnets.0", dtype, temb=False),
+        "attn": _vae_attn(sd, f"{p}.attentions.0", dtype),
+        "res2": _resblock(sd, f"{p}.resnets.1", dtype, temb=False),
+    }
+
+
+def convert_vae_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: vae.VAEConfig = vae.SD_VAE_CONFIG,
+    dtype=jnp.float32,
+):
+    n = len(cfg.block_out_channels)
+    enc = {
+        "conv_in": _conv(sd, "encoder.conv_in", dtype),
+        "down_blocks": [],
+        "mid": _vae_mid(sd, "encoder.mid_block", dtype),
+        "norm_out": _norm(sd, "encoder.conv_norm_out", dtype),
+        "conv_out": _conv(sd, "encoder.conv_out", dtype),
+    }
+    for i in range(n):
+        p = f"encoder.down_blocks.{i}"
+        enc["down_blocks"].append(
+            {
+                "resnets": [
+                    _resblock(sd, f"{p}.resnets.{j}", dtype, temb=False)
+                    for j in range(cfg.layers_per_block)
+                ],
+                "downsample": (
+                    _conv(sd, f"{p}.downsamplers.0.conv", dtype)
+                    if f"{p}.downsamplers.0.conv.weight" in sd
+                    else None
+                ),
+            }
+        )
+    dec = {
+        "conv_in": _conv(sd, "decoder.conv_in", dtype),
+        "mid": _vae_mid(sd, "decoder.mid_block", dtype),
+        "up_blocks": [],
+        "norm_out": _norm(sd, "decoder.conv_norm_out", dtype),
+        "conv_out": _conv(sd, "decoder.conv_out", dtype),
+    }
+    for i in range(n):
+        p = f"decoder.up_blocks.{i}"
+        dec["up_blocks"].append(
+            {
+                "resnets": [
+                    _resblock(sd, f"{p}.resnets.{j}", dtype, temb=False)
+                    for j in range(cfg.layers_per_block + 1)
+                ],
+                "upsample": (
+                    _conv(sd, f"{p}.upsamplers.0.conv", dtype)
+                    if f"{p}.upsamplers.0.conv.weight" in sd
+                    else None
+                ),
+            }
+        )
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv", dtype),
+        "post_quant_conv": _conv(sd, "post_quant_conv", dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_text_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: clip_text.CLIPTextConfig = clip_text.SD21_TEXT_CONFIG,
+    dtype=jnp.float32,
+):
+    pre = "text_model." if "text_model.embeddings.token_embedding.weight" in sd else ""
+    params = {
+        "token_embedding": jnp.asarray(sd[f"{pre}embeddings.token_embedding.weight"], dtype),
+        "position_embedding": jnp.asarray(sd[f"{pre}embeddings.position_embedding.weight"], dtype),
+        "final_ln": _norm(sd, f"{pre}final_layer_norm", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"{pre}encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _norm(sd, f"{p}.layer_norm1", dtype),
+                "q": _dense(sd, f"{p}.self_attn.q_proj", dtype),
+                "k": _dense(sd, f"{p}.self_attn.k_proj", dtype),
+                "v": _dense(sd, f"{p}.self_attn.v_proj", dtype),
+                "out": _dense(sd, f"{p}.self_attn.out_proj", dtype),
+                "ln2": _norm(sd, f"{p}.layer_norm2", dtype),
+                "fc1": _dense(sd, f"{p}.mlp.fc1", dtype),
+                "fc2": _dense(sd, f"{p}.mlp.fc2", dtype),
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# IResNet (ArcFace backbone .pth)
+# ---------------------------------------------------------------------------
+
+
+def convert_iresnet_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: iresnet.IResNetConfig = iresnet.IResNetConfig(),
+    dtype=jnp.float32,
+):
+    params, state = {}, {}
+    params["conv1"] = {
+        "w": jnp.asarray(np.asarray(sd["conv1.weight"]).transpose(2, 3, 1, 0), dtype),
+        "b": jnp.zeros((64,), dtype),  # reference convs are bias-free
+    }
+    params["bn1"], state["bn1"] = _bn(sd, "bn1", dtype)
+    params["prelu1"] = jnp.asarray(sd["prelu.weight"], dtype)
+    for li, depth in enumerate(cfg.depths, start=1):
+        bp_list, bs_list = [], []
+        for bi in range(depth):
+            p = f"layer{li}.{bi}"
+            bp, bs = {}, {}
+            bp["bn1"], bs["bn1"] = _bn(sd, f"{p}.bn1", dtype)
+            bp["conv1"] = {
+                "w": jnp.asarray(np.asarray(sd[f"{p}.conv1.weight"]).transpose(2, 3, 1, 0), dtype),
+                "b": jnp.zeros((np.asarray(sd[f"{p}.conv1.weight"]).shape[0],), dtype),
+            }
+            bp["bn2"], bs["bn2"] = _bn(sd, f"{p}.bn2", dtype)
+            bp["prelu"] = jnp.asarray(sd[f"{p}.prelu.weight"], dtype)
+            bp["conv2"] = {
+                "w": jnp.asarray(np.asarray(sd[f"{p}.conv2.weight"]).transpose(2, 3, 1, 0), dtype),
+                "b": jnp.zeros((np.asarray(sd[f"{p}.conv2.weight"]).shape[0],), dtype),
+            }
+            bp["bn3"], bs["bn3"] = _bn(sd, f"{p}.bn3", dtype)
+            if f"{p}.downsample.0.weight" in sd:
+                bp["down_conv"] = {
+                    "w": jnp.asarray(
+                        np.asarray(sd[f"{p}.downsample.0.weight"]).transpose(2, 3, 1, 0), dtype
+                    ),
+                    "b": jnp.zeros((np.asarray(sd[f"{p}.downsample.0.weight"]).shape[0],), dtype),
+                }
+                bp["down_bn"], bs["down_bn"] = _bn(sd, f"{p}.downsample.1", dtype)
+            bp_list.append(bp)
+            bs_list.append(bs)
+        params[f"layer{li}"] = bp_list
+        state[f"layer{li}"] = bs_list
+    params["bn2"], state["bn2"] = _bn(sd, "bn2", dtype)
+    # fc flatten permutation: torch (c,h,w) order → our (h,w,c)
+    w = np.asarray(sd["fc.weight"])
+    nf = w.shape[0]
+    side = int(round((w.shape[1] // 512) ** 0.5))
+    w = w.reshape(nf, 512, side, side).transpose(0, 2, 3, 1).reshape(nf, -1)
+    params["fc"] = {"w": jnp.asarray(w, dtype), "b": jnp.asarray(sd["fc.bias"], dtype)}
+    params["features_bn"], state["features_bn"] = _bn(sd, "features", dtype)
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Top-level SD2.1 loader
+# ---------------------------------------------------------------------------
+
+
+def load_sd21_params(model_dir: str, dtype=jnp.float32) -> dict:
+    """Load a local diffusers-format SD2.1 model directory into
+    {"text_encoder", "unet", "vae"} pytrees — the JAX equivalent of
+    `StableDiffusionPipeline.from_pretrained` (`inference_ID-Booth.py:103`)."""
+
+    def find(sub):
+        d = os.path.join(model_dir, sub)
+        for name in (
+            "diffusion_pytorch_model.safetensors",
+            "model.safetensors",
+            "diffusion_pytorch_model.bin",
+            "pytorch_model.bin",
+        ):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"no weights found under {d}")
+
+    def load(path):
+        if path.endswith(".safetensors"):
+            return load_safetensors(path)
+        return load_torch_pth(path)
+
+    return {
+        "text_encoder": convert_clip_text_state_dict(load(find("text_encoder")), dtype=dtype),
+        "unet": convert_unet_state_dict(load(find("unet")), dtype=dtype),
+        "vae": convert_vae_state_dict(load(find("vae")), dtype=dtype),
+    }
