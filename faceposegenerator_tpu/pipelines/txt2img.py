@@ -1,0 +1,164 @@
+"""StableDiffusionPipeline-compatible txt2img API over the jitted sampler.
+
+Mirrors the reference's pipeline surface (`inference_ID-Booth.py:103-144`):
+
+    pipe = StableDiffusionPipeline.from_pretrained(model_dir)
+    pipe.set_scheduler("ddpm")                  # DDPMScheduler swap (:104)
+    pipe.load_lora_weights(ckpt_dir)            # LoRA merge, no recompile (:107)
+    images = pipe(prompt, negative_prompt=...,  # (:138)
+                  num_inference_steps=30, guidance_scale=5.0,
+                  width=512, height=512, seed=identity_index)
+
+Because LoRA stays factored with fixed structure, swapping checkpoints or
+identities re-uses the same compiled XLA program — the reference reloads the
+whole fp16 pipeline per (identity, model) pair (`inference_ID-Booth.py:103`),
+which this design eliminates entirely.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.precision import Policy, DEFAULT_POLICY
+from ..core.rng import sampler_key
+from ..diffusion import make_ddpm, make_dpm_solver, SchedulerConfig
+from ..diffusion.sampler import SamplerModels, sample
+from ..diffusion.lora_io import load_lora_safetensors
+from ..models import clip_text, unet2d, vae
+
+
+class StableDiffusionPipeline:
+    def __init__(
+        self,
+        params: dict,
+        models: SamplerModels = SamplerModels(),
+        tokenizer=None,
+        policy: Policy = DEFAULT_POLICY,
+        scheduler_config: SchedulerConfig = SchedulerConfig(),
+    ):
+        self.params = params
+        self.models = models
+        self.tokenizer = tokenizer
+        self.policy = policy
+        self.scheduler_config = scheduler_config
+        self.scheduler_kind = "ddpm"
+        self.lora = None
+        self.lora_scale = 1.0
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        dtype=jnp.bfloat16,
+        models: SamplerModels = SamplerModels(),
+        policy: Optional[Policy] = None,
+    ):
+        from ..bridge.torch_weights import load_sd21_params
+        from ..data.tokenizer import CLIPTokenizer
+
+        params = load_sd21_params(model_dir, dtype=dtype)
+        tok_dir = os.path.join(model_dir, "tokenizer")
+        tokenizer = CLIPTokenizer.from_pretrained(tok_dir) if os.path.isdir(tok_dir) else None
+        if policy is None:
+            policy = Policy(param_dtype=dtype, compute_dtype=dtype)
+        return cls(params, models, tokenizer, policy)
+
+    @classmethod
+    def from_random(cls, key=None, models: SamplerModels = SamplerModels(), dtype=jnp.float32, **kw):
+        """Random-weight pipeline (tests/benchmarks)."""
+        key = key if key is not None else jax.random.key(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "text_encoder": clip_text.init(k1, models.text_cfg, dtype=dtype),
+            "unet": unet2d.init(k2, models.unet_cfg, dtype=dtype),
+            "vae": vae.init(k3, models.vae_cfg, dtype=dtype),
+        }
+        return cls(params, models, **kw)
+
+    # -- reference API surface ---------------------------------------------
+
+    def set_scheduler(self, kind: str):
+        """Swap DDPM ↔ DPM-Solver++ (`pipe.scheduler = DDPMScheduler...`)."""
+        assert kind in ("ddpm", "dpm")
+        self.scheduler_kind = kind
+
+    def load_lora_weights(self, path_or_dir: str, scale: float = 1.0):
+        """Load a diffusers-format LoRA checkpoint. No recompile: the LoRA
+        pytree always has the same (fixed-rank) structure."""
+        self.lora = load_lora_safetensors(
+            path_or_dir, self.params["unet"], self.params["text_encoder"],
+            dtype=self.policy.param_dtype,
+        )
+        self.lora_scale = scale
+
+    def set_lora(self, lora: Optional[dict], scale: float = 1.0):
+        self.lora = lora
+        self.lora_scale = scale
+
+    def unload_lora_weights(self):
+        self.lora = None
+
+    def tokenize(self, prompts: Union[str, List[str]]) -> jnp.ndarray:
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer loaded; pass input_ids directly")
+        return jnp.asarray(self.tokenizer(prompts))
+
+    def __call__(
+        self,
+        prompt: Union[str, List[str], None] = None,
+        negative_prompt: Union[str, List[str], None] = None,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        width: int = 512,
+        height: int = 512,
+        seed: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        num_images_per_prompt: int = 1,
+        input_ids: Optional[jax.Array] = None,
+        negative_input_ids: Optional[jax.Array] = None,
+        output_type: str = "np",
+    ):
+        """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax)."""
+        if input_ids is None:
+            input_ids = self.tokenize(prompt)
+        if negative_input_ids is None:
+            if negative_prompt is None and self.tokenizer is None:
+                negative_input_ids = jnp.zeros_like(input_ids)
+            else:
+                if negative_prompt is None:
+                    negative_prompt = [""] * input_ids.shape[0]
+                negative_input_ids = self.tokenize(negative_prompt)
+        if negative_input_ids.shape[0] == 1 and input_ids.shape[0] > 1:
+            negative_input_ids = jnp.tile(negative_input_ids, (input_ids.shape[0], 1))
+        if num_images_per_prompt > 1:
+            input_ids = jnp.repeat(input_ids, num_images_per_prompt, axis=0)
+            negative_input_ids = jnp.repeat(negative_input_ids, num_images_per_prompt, axis=0)
+
+        if key is None:
+            key = sampler_key(seed if seed is not None else 0)
+
+        if self.scheduler_kind == "ddpm":
+            sched = make_ddpm(self.scheduler_config, num_inference_steps)
+        else:
+            sched = make_dpm_solver(self.scheduler_config, num_inference_steps)
+
+        lora = None
+        if self.lora is not None:
+            lora = {"unet": self.lora.get("unet"), "text_encoder": self.lora.get("text_encoder")}
+
+        images = sample(
+            self.params, sched, input_ids, negative_input_ids, key,
+            models=self.models, guidance_scale=float(guidance_scale),
+            height=height, width=width, policy=self.policy,
+            scheduler=self.scheduler_kind, lora=lora, lora_scale=self.lora_scale,
+        )
+        if output_type == "np":
+            return np.asarray(images)
+        return images
