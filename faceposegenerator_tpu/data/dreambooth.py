@@ -1,0 +1,149 @@
+"""DreamBooth dataset + prior-preservation collate (host-side loader).
+
+Behavioral rebuild of `DreamBoothDataset`/`collate_fn`
+(`train_ID-Booth.py:233-389`): pairs instance images of one identity with
+tokenized instance prompts and per-image ArcFace embeddings (path convention
+`…/images/<id>` → `…/ArcFace_embeds/<id>`), cycles class (prior) images with
+the class prompt, and concatenates [instance; class] into one batch so a
+single forward pass covers both (collate `:354-389`). Instance transform:
+resize 512 → random crop → [-1, 1] (`:293-300`).
+
+Differences (documented):
+  - embeddings load from per-image `.npy` (the *fixed* per-image contract —
+    the reference's extract script erroneously saves one embed per folder,
+    SURVEY.md §3.3) with graceful fallback to a folder-level embed file.
+  - output is NHWC numpy for `jax.device_put`, not torch tensors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _natural_key(s: str):
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def list_images(folder: str) -> List[str]:
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    return sorted(
+        (f for f in os.listdir(folder) if f.lower().endswith(exts)), key=_natural_key
+    )
+
+
+class DreamBoothDataset:
+    def __init__(
+        self,
+        instance_dir: str,
+        instance_ids: np.ndarray,
+        class_dir: Optional[str] = None,
+        class_ids: Optional[np.ndarray] = None,
+        embeds_dir: Optional[str] = None,
+        resolution: int = 512,
+        center_crop: bool = False,
+        seed: int = 0,
+    ):
+        """instance_ids / class_ids: pre-tokenized (77,) prompt ids."""
+        self.instance_dir = instance_dir
+        self.instance_images = list_images(instance_dir)
+        if not self.instance_images:
+            raise ValueError(f"no instance images in {instance_dir}")
+        self.class_dir = class_dir
+        self.class_images = list_images(class_dir) if class_dir else []
+        self.instance_ids = np.asarray(instance_ids)
+        self.class_ids = np.asarray(class_ids) if class_ids is not None else None
+        self.embeds_dir = embeds_dir
+        self.resolution = resolution
+        self.center_crop = center_crop
+        self.rng = np.random.default_rng(seed)
+        self._length = max(len(self.instance_images), len(self.class_images) or 1)
+
+    def __len__(self):
+        return self._length
+
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        scale = self.resolution / min(w, h)
+        img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+        arr = np.asarray(img, np.float32)
+        hh, ww = arr.shape[:2]
+        if self.center_crop:
+            y0 = (hh - self.resolution) // 2
+            x0 = (ww - self.resolution) // 2
+        else:
+            y0 = self.rng.integers(0, hh - self.resolution + 1)
+            x0 = self.rng.integers(0, ww - self.resolution + 1)
+        arr = arr[y0 : y0 + self.resolution, x0 : x0 + self.resolution]
+        return (arr / 255.0 - 0.5) / 0.5  # [-1, 1]
+
+    def _load_embed(self, image_name: str) -> np.ndarray:
+        """Per-image embed `<embeds_dir>/<stem>.npy`; falls back to a single
+        folder-level embed (legacy layout) or zeros when absent."""
+        if self.embeds_dir is None:
+            return np.zeros((512,), np.float32)
+        stem = os.path.splitext(image_name)[0]
+        p = os.path.join(self.embeds_dir, stem + ".npy")
+        if os.path.exists(p):
+            e = np.load(p)
+        else:
+            folder = os.path.join(self.embeds_dir + ".npy")
+            e = np.load(folder) if os.path.exists(folder) else np.zeros((512,), np.float32)
+        return np.asarray(e, np.float32).reshape(-1)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        iname = self.instance_images[index % len(self.instance_images)]
+        out = {
+            "instance_image": self._load_image(os.path.join(self.instance_dir, iname)),
+            "instance_ids": self.instance_ids,
+            "instance_embed": self._load_embed(iname),
+        }
+        if self.class_images:
+            cname = self.class_images[index % len(self.class_images)]
+            out["class_image"] = self._load_image(os.path.join(self.class_dir, cname))
+            out["class_ids"] = self.class_ids
+            # reference uses a fixed class ("average person") embedding file
+            # next to the class images when present
+            cpath = os.path.join(os.path.dirname(self.class_dir) or ".", "class_embed.npy")
+            out["class_embed"] = (
+                np.asarray(np.load(cpath), np.float32).reshape(-1)
+                if os.path.exists(cpath)
+                else np.zeros_like(out["instance_embed"])
+            )
+        return out
+
+    def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
+        """Yields collated prior-concat batches: pixel_values (2B,H,W,3)
+        = [instance; class], input_ids (2B,77), gt_embeds (2B,512)."""
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        n_full = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+        for bi in range(n_full):
+            idx = order[bi * batch_size : (bi + 1) * batch_size]
+            items = [self[i] for i in idx]
+            inst_pix = np.stack([it["instance_image"] for it in items])
+            inst_ids = np.stack([it["instance_ids"] for it in items])
+            inst_emb = np.stack([it["instance_embed"] for it in items])
+            if self.class_images:
+                cls_pix = np.stack([it["class_image"] for it in items])
+                cls_ids = np.stack([it["class_ids"] for it in items])
+                cls_emb = np.stack([it["class_embed"] for it in items])
+                yield {
+                    "pixel_values": np.concatenate([inst_pix, cls_pix]).astype(np.float32),
+                    "input_ids": np.concatenate([inst_ids, cls_ids]).astype(np.int32),
+                    "gt_embeds": np.concatenate([inst_emb, cls_emb]).astype(np.float32),
+                }
+            else:
+                yield {
+                    "pixel_values": inst_pix.astype(np.float32),
+                    "input_ids": inst_ids.astype(np.int32),
+                    "gt_embeds": inst_emb.astype(np.float32),
+                }

@@ -1,1 +1,1 @@
-from . import clip_text, unet2d, vae, iresnet
+from . import clip_text, unet2d, vae, iresnet, mtcnn

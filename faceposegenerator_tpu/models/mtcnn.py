@@ -1,0 +1,422 @@
+"""MTCNN face-detection cascade (P-Net / R-Net / O-Net) — JAX port.
+
+The reference uses facenet-pytorch's `MTCNN(image_size=112, margin=0)` for
+batch detection in preprocessing (`extract_ArcFace_embeds.py:28,52`,
+`utils/detect_align_crop_data.py`) and *inside the ID-Booth training loop*
+(`train_ID-Booth.py:982,1085,1115`). Here the three tiny convnets are pure
+JAX (jitted, batched over crops) and the cascade (image pyramid, NMS, box
+regression, landmark extraction) is numpy orchestration — the nets dominate
+the compute and run on device.
+
+Weight source: a facenet-pytorch-layout state dict (pnet/rnet/onet `.pt`),
+converted by `convert_mtcnn_state_dict` (OIHW→HWIO etc.). Random init is
+provided for tests; detection quality obviously requires real weights.
+
+Architecture (standard MTCNN, Zhang et al. 2016):
+  P-Net: conv3x3×10 →PReLU→maxpool2→conv3x3×16→PReLU→conv3x3×32→PReLU
+         → 1x1 heads: face prob (2), bbox reg (4)            [fully conv]
+  R-Net: conv3x3×28→pool3s2→conv3x3×48→pool3s2→conv2x2×64→fc128
+         → heads: prob (2), reg (4)                          [24×24 input]
+  O-Net: conv3x3×32→pool3s2→conv3x3×64→pool3s2→conv3x3×64→pool2→conv2x2×128
+         →fc256 → heads: prob (2), reg (4), landmarks (10)   [48×48 input]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .unet2d import conv2d
+
+
+# ---------------------------------------------------------------------------
+# net definitions (functional; NHWC)
+# ---------------------------------------------------------------------------
+
+
+def _prelu(x, a):
+    return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
+
+
+def _maxpool(x, k, s, ceil=True):
+    pad = ((0, 0), (0, 0))
+    if ceil:
+        h, w = x.shape[1], x.shape[2]
+        ph = max(0, (-(h - k) % s))
+        pw = max(0, (-(w - k) % s))
+        pad = ((0, ph), (0, pw))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1),
+        ((0, 0), pad[0], pad[1], (0, 0)),
+    )
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
+    fan = kh * kw * cin
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.normal(k1, (kh, kw, cin, cout), dtype) * (2.0 / fan) ** 0.5,
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def _fc_init(key, cout, cin, dtype=jnp.float32):
+    return {
+        "w": jax.random.normal(key, (cout, cin), dtype) * (1.0 / cin) ** 0.5,
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def init_pnet(key):
+    ks = jax.random.split(key, 8)
+    return {
+        "conv1": _conv_init(ks[0], 3, 3, 3, 10), "prelu1": jnp.full((10,), 0.25),
+        "conv2": _conv_init(ks[1], 3, 3, 10, 16), "prelu2": jnp.full((16,), 0.25),
+        "conv3": _conv_init(ks[2], 3, 3, 16, 32), "prelu3": jnp.full((32,), 0.25),
+        "cls": _conv_init(ks[3], 1, 1, 32, 2),
+        "reg": _conv_init(ks[4], 1, 1, 32, 4),
+    }
+
+
+def init_rnet(key):
+    ks = jax.random.split(key, 8)
+    return {
+        "conv1": _conv_init(ks[0], 3, 3, 3, 28), "prelu1": jnp.full((28,), 0.25),
+        "conv2": _conv_init(ks[1], 3, 3, 28, 48), "prelu2": jnp.full((48,), 0.25),
+        "conv3": _conv_init(ks[2], 2, 2, 48, 64), "prelu3": jnp.full((64,), 0.25),
+        "fc": _fc_init(ks[3], 128, 64 * 3 * 3), "prelu4": jnp.full((128,), 0.25),
+        "cls": _fc_init(ks[4], 2, 128),
+        "reg": _fc_init(ks[5], 4, 128),
+    }
+
+
+def init_onet(key):
+    ks = jax.random.split(key, 10)
+    return {
+        "conv1": _conv_init(ks[0], 3, 3, 3, 32), "prelu1": jnp.full((32,), 0.25),
+        "conv2": _conv_init(ks[1], 3, 3, 32, 64), "prelu2": jnp.full((64,), 0.25),
+        "conv3": _conv_init(ks[2], 3, 3, 64, 64), "prelu3": jnp.full((64,), 0.25),
+        "conv4": _conv_init(ks[3], 2, 2, 64, 128), "prelu4": jnp.full((128,), 0.25),
+        "fc": _fc_init(ks[4], 256, 128 * 3 * 3), "prelu5": jnp.full((256,), 0.25),
+        "cls": _fc_init(ks[5], 2, 256),
+        "reg": _fc_init(ks[6], 4, 256),
+        "lmk": _fc_init(ks[7], 10, 256),
+    }
+
+
+def init(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"pnet": init_pnet(k1), "rnet": init_rnet(k2), "onet": init_onet(k3)}
+
+
+@jax.jit
+def pnet_apply(p, x):
+    """x: (B, H, W, 3) normalized; returns (prob map (B,h,w), reg (B,h,w,4))."""
+    h = conv2d(x, p["conv1"], padding=0)
+    h = _prelu(h, p["prelu1"])
+    h = _maxpool(h, 2, 2)
+    h = conv2d(h, p["conv2"], padding=0)
+    h = _prelu(h, p["prelu2"])
+    h = conv2d(h, p["conv3"], padding=0)
+    h = _prelu(h, p["prelu3"])
+    cls = conv2d(h, p["cls"], padding=0)
+    reg = conv2d(h, p["reg"], padding=0)
+    prob = jax.nn.softmax(cls.astype(jnp.float32), axis=-1)[..., 1]
+    return prob, reg
+
+
+def _flat_nchw(h):
+    """facenet-pytorch flattens NCHW with a permute(0,3,2,1) quirk; we flatten
+    our NHWC as (W, H, C)-major to match its fc weight layout."""
+    return jnp.transpose(h, (0, 2, 1, 3)).reshape(h.shape[0], -1)
+
+
+@jax.jit
+def rnet_apply(p, x):
+    h = conv2d(x, p["conv1"], padding=0)
+    h = _prelu(h, p["prelu1"])
+    h = _maxpool(h, 3, 2)
+    h = conv2d(h, p["conv2"], padding=0)
+    h = _prelu(h, p["prelu2"])
+    h = _maxpool(h, 3, 2)
+    h = conv2d(h, p["conv3"], padding=0)
+    h = _prelu(h, p["prelu3"])
+    h = _flat_nchw(h)
+    h = h @ p["fc"]["w"].T + p["fc"]["b"]
+    h = _prelu(h, p["prelu4"])
+    cls = h @ p["cls"]["w"].T + p["cls"]["b"]
+    reg = h @ p["reg"]["w"].T + p["reg"]["b"]
+    return jax.nn.softmax(cls.astype(jnp.float32), axis=-1)[:, 1], reg
+
+
+@jax.jit
+def onet_apply(p, x):
+    h = conv2d(x, p["conv1"], padding=0)
+    h = _prelu(h, p["prelu1"])
+    h = _maxpool(h, 3, 2)
+    h = conv2d(h, p["conv2"], padding=0)
+    h = _prelu(h, p["prelu2"])
+    h = _maxpool(h, 3, 2)
+    h = conv2d(h, p["conv3"], padding=0)
+    h = _prelu(h, p["prelu3"])
+    h = _maxpool(h, 2, 2)
+    h = conv2d(h, p["conv4"], padding=0)
+    h = _prelu(h, p["prelu4"])
+    h = _flat_nchw(h)
+    h = h @ p["fc"]["w"].T + p["fc"]["b"]
+    h = _prelu(h, p["prelu5"])
+    cls = h @ p["cls"]["w"].T + p["cls"]["b"]
+    reg = h @ p["reg"]["w"].T + p["reg"]["b"]
+    lmk = h @ p["lmk"]["w"].T + p["lmk"]["b"]
+    return jax.nn.softmax(cls.astype(jnp.float32), axis=-1)[:, 1], reg, lmk
+
+
+# ---------------------------------------------------------------------------
+# cascade (numpy orchestration)
+# ---------------------------------------------------------------------------
+
+
+def _nms(boxes: np.ndarray, scores: np.ndarray, thresh: float, method: str = "union"):
+    order = scores.argsort()[::-1]
+    keep = []
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        if method == "min":
+            iou = inter / np.minimum(area[i], area[order[1:]])
+        else:
+            iou = inter / (area[i] + area[order[1:]] - inter)
+        order = order[1:][iou <= thresh]
+    return np.asarray(keep, np.int64)
+
+
+def _square(boxes):
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    side = np.maximum(w, h)
+    cx = boxes[:, 0] + w / 2
+    cy = boxes[:, 1] + h / 2
+    out = boxes.copy()
+    out[:, 0] = cx - side / 2
+    out[:, 1] = cy - side / 2
+    out[:, 2] = cx + side / 2
+    out[:, 3] = cy + side / 2
+    return out
+
+
+def _crop_batch(img: np.ndarray, boxes: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    h, w = img.shape[:2]
+    out = np.zeros((len(boxes), size, size, 3), np.float32)
+    for i, b in enumerate(boxes):
+        x1, y1, x2, y2 = [int(round(v)) for v in b[:4]]
+        cx1, cy1 = max(0, x1), max(0, y1)
+        cx2, cy2 = min(w, x2), min(h, y2)
+        if cx2 <= cx1 or cy2 <= cy1:
+            continue
+        patch = np.zeros((y2 - y1, x2 - x1, 3), img.dtype)
+        patch[cy1 - y1 : cy2 - y1, cx1 - x1 : cx2 - x1] = img[cy1:cy2, cx1:cx2]
+        out[i] = cv2.resize(patch.astype(np.float32), (size, size))
+    return out
+
+
+def _norm(x):
+    return (x - 127.5) / 128.0
+
+
+class MTCNN:
+    """Cascade detector.
+
+    detect(img) -> (boxes (N,4), probs (N,), landmarks (N,5,2)) or
+    (None, None, None) — mirroring `mtcnn.detect(img, landmarks=...)`.
+    """
+
+    def __init__(
+        self,
+        params: Optional[Dict] = None,
+        thresholds=(0.6, 0.7, 0.7),
+        min_face_size: int = 20,
+        factor: float = 0.709,
+    ):
+        self.params = params if params is not None else init(jax.random.key(0))
+        self.thresholds = thresholds
+        self.min_face_size = min_face_size
+        self.factor = factor
+
+    def _pyramid_scales(self, h, w):
+        m = 12.0 / self.min_face_size
+        min_side = min(h, w) * m
+        scales = []
+        s = m
+        while min_side >= 12:
+            scales.append(s)
+            s *= self.factor
+            min_side *= self.factor
+        return scales
+
+    def detect(self, img: np.ndarray, landmarks: bool = False):
+        import cv2
+
+        img = np.asarray(img, np.float32)
+        if img.ndim != 3:
+            raise ValueError("expected HWC image")
+        h, w = img.shape[:2]
+
+        # stage 1: P-Net over the pyramid
+        all_boxes = []
+        for scale in self._pyramid_scales(h, w):
+            sh, sw = int(np.ceil(h * scale)), int(np.ceil(w * scale))
+            if sh < 12 or sw < 12:
+                continue
+            resized = cv2.resize(img, (sw, sh))
+            prob, reg = pnet_apply(self.params["pnet"], _norm(resized)[None])
+            prob = np.asarray(prob[0])
+            reg = np.asarray(reg[0])
+            ys, xs = np.where(prob > self.thresholds[0])
+            if len(ys) == 0:
+                continue
+            stride, cell = 2, 12
+            bb = np.stack(
+                [
+                    (stride * xs) / scale,
+                    (stride * ys) / scale,
+                    (stride * xs + cell) / scale,
+                    (stride * ys + cell) / scale,
+                ],
+                axis=1,
+            )
+            r = reg[ys, xs]
+            scores = prob[ys, xs]
+            keep = _nms(bb, scores, 0.5)
+            boxes = np.concatenate([bb[keep], scores[keep, None], r[keep]], axis=1)
+            all_boxes.append(boxes)
+        if not all_boxes:
+            return (None, None, None) if landmarks else (None, None)
+        boxes = np.concatenate(all_boxes)
+        keep = _nms(boxes[:, :4], boxes[:, 4], 0.7)
+        boxes = boxes[keep]
+        # apply P-Net regression
+        bw = boxes[:, 2] - boxes[:, 0]
+        bh = boxes[:, 3] - boxes[:, 1]
+        reg_boxes = np.stack(
+            [
+                boxes[:, 0] + boxes[:, 5] * bw,
+                boxes[:, 1] + boxes[:, 6] * bh,
+                boxes[:, 2] + boxes[:, 7] * bw,
+                boxes[:, 3] + boxes[:, 8] * bh,
+            ],
+            axis=1,
+        )
+        boxes4 = _square(reg_boxes)
+
+        # stage 2: R-Net
+        crops = _crop_batch(img, boxes4, 24)
+        prob, reg = rnet_apply(self.params["rnet"], _norm(crops))
+        prob, reg = np.asarray(prob), np.asarray(reg)
+        mask = prob > self.thresholds[1]
+        if not mask.any():
+            return (None, None, None) if landmarks else (None, None)
+        boxes4, prob, reg = boxes4[mask], prob[mask], reg[mask]
+        keep = _nms(boxes4, prob, 0.7)
+        boxes4, prob, reg = boxes4[keep], prob[keep], reg[keep]
+        bw = boxes4[:, 2] - boxes4[:, 0]
+        bh = boxes4[:, 3] - boxes4[:, 1]
+        boxes4 = _square(
+            np.stack(
+                [
+                    boxes4[:, 0] + reg[:, 0] * bw,
+                    boxes4[:, 1] + reg[:, 1] * bh,
+                    boxes4[:, 2] + reg[:, 2] * bw,
+                    boxes4[:, 3] + reg[:, 3] * bh,
+                ],
+                axis=1,
+            )
+        )
+
+        # stage 3: O-Net
+        crops = _crop_batch(img, boxes4, 48)
+        prob, reg, lmk = onet_apply(self.params["onet"], _norm(crops))
+        prob, reg, lmk = np.asarray(prob), np.asarray(reg), np.asarray(lmk)
+        mask = prob > self.thresholds[2]
+        if not mask.any():
+            return (None, None, None) if landmarks else (None, None)
+        boxes4, prob, reg, lmk = boxes4[mask], prob[mask], reg[mask], lmk[mask]
+        bw = boxes4[:, 2] - boxes4[:, 0]
+        bh = boxes4[:, 3] - boxes4[:, 1]
+        points = np.stack(
+            [
+                boxes4[:, 0:1] + lmk[:, 0:5] * bw[:, None],
+                boxes4[:, 1:2] + lmk[:, 5:10] * bh[:, None],
+            ],
+            axis=2,
+        )  # (N, 5, 2)
+        final = np.stack(
+            [
+                boxes4[:, 0] + reg[:, 0] * bw,
+                boxes4[:, 1] + reg[:, 1] * bh,
+                boxes4[:, 2] + reg[:, 2] * bw,
+                boxes4[:, 3] + reg[:, 3] * bh,
+            ],
+            axis=1,
+        )
+        keep = _nms(final, prob, 0.7, method="min")
+        final, prob, points = final[keep], prob[keep], points[keep]
+        order = prob.argsort()[::-1]
+        final, prob, points = final[order], prob[order], points[order]
+        if landmarks:
+            return final, prob, points
+        return final, prob
+
+
+def convert_mtcnn_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """facenet-pytorch MTCNN state dict → our pytree. Expects keys prefixed
+    pnet./rnet./onet. with their layer names (conv1..., dense4/5/6...)."""
+
+    def conv(prefix):
+        return {
+            "w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    def fc(prefix):
+        return {"w": jnp.asarray(sd[f"{prefix}.weight"]), "b": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    def pr(prefix):
+        return jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).reshape(-1))
+
+    return {
+        "pnet": {
+            "conv1": conv("pnet.conv1"), "prelu1": pr("pnet.prelu1"),
+            "conv2": conv("pnet.conv2"), "prelu2": pr("pnet.prelu2"),
+            "conv3": conv("pnet.conv3"), "prelu3": pr("pnet.prelu3"),
+            "cls": conv("pnet.conv4_1"), "reg": conv("pnet.conv4_2"),
+        },
+        "rnet": {
+            "conv1": conv("rnet.conv1"), "prelu1": pr("rnet.prelu1"),
+            "conv2": conv("rnet.conv2"), "prelu2": pr("rnet.prelu2"),
+            "conv3": conv("rnet.conv3"), "prelu3": pr("rnet.prelu3"),
+            "fc": fc("rnet.dense4"), "prelu4": pr("rnet.prelu4"),
+            "cls": fc("rnet.dense5_1"), "reg": fc("rnet.dense5_2"),
+        },
+        "onet": {
+            "conv1": conv("onet.conv1"), "prelu1": pr("onet.prelu1"),
+            "conv2": conv("onet.conv2"), "prelu2": pr("onet.prelu2"),
+            "conv3": conv("onet.conv3"), "prelu3": pr("onet.prelu3"),
+            "conv4": conv("onet.conv4"), "prelu4": pr("onet.prelu4"),
+            "fc": fc("onet.dense5"), "prelu5": pr("onet.prelu5"),
+            "cls": fc("onet.dense6_1"), "reg": fc("onet.dense6_2"),
+            "lmk": fc("onet.dense6_3"),
+        },
+    }
