@@ -136,8 +136,13 @@ def apply(
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    return_features: bool = False,
 ) -> Tuple[jax.Array, dict]:
-    """(B, 112, 112, 3) -> ((B, 512) fp32 embedding, new_state)."""
+    """(B, 112, 112, 3) -> ((B, 512) fp32 embedding, new_state).
+
+    With `return_features=True` also returns the flattened post-bn2 feature
+    map (B, 512·7·7) — the input of both the embedding fc and CR-FIQA's
+    quality head (`Evaluation/CR-FIQA/iresnet.py:123`)."""
     new_state = {}
     x = images.astype(policy.compute_dtype)
     x = conv2d(x, params["conv1"])
@@ -170,6 +175,7 @@ def apply(
     x = x.astype(jnp.float32)
     b = x.shape[0]
     x = x.reshape(b, -1)
+    features = x
     if train and cfg.dropout > 0 and dropout_key is not None:
         keep = 1.0 - cfg.dropout
         mask = jax.random.bernoulli(dropout_key, keep, x.shape)
@@ -187,4 +193,6 @@ def apply(
     else:
         out = batch_norm_inference(x, jnp.ones_like(p["g"]), p["b"], s["mean"], s["var"], cfg.bn_eps)
         new_state["features_bn"] = s
+    if return_features:
+        return out, new_state, features
     return out, new_state
