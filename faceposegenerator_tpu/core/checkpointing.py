@@ -26,13 +26,20 @@ import numpy as np
 _CKPT_RE = re.compile(r"^checkpoint-(\d+)-(\d+)$")
 
 
+def _path_key(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
 def _flatten_with_paths(tree) -> dict:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(
-            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path
-        )
-        flat[key] = np.asarray(leaf)
+        flat["/".join(_path_key(p) for p in path)] = np.asarray(leaf)
     return flat
 
 
@@ -44,18 +51,14 @@ def save_pytree(tree, path: str):
 
 
 def load_pytree(template, path: str):
-    data = np.load(path)
-    leaves_paths = jax.tree_util.tree_flatten_with_path(template)
-    flat = {}
-    for p, leaf in leaves_paths[0]:
-        key = "/".join(str(q.key) if hasattr(q, "key") else str(q.idx) for q in p)
-        flat[key] = data[key]
-    leaves = [flat["/".join(str(q.key) if hasattr(q, "key") else str(q.idx) for q in p)] for p, _ in leaves_paths[0]]
     import jax.numpy as jnp
 
-    return jax.tree_util.tree_unflatten(
-        leaves_paths[1], [jnp.asarray(x) for x in leaves]
-    )
+    data = np.load(path)
+    leaves_paths = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [
+        jnp.asarray(data["/".join(_path_key(q) for q in p)]) for p, _ in leaves_paths[0]
+    ]
+    return jax.tree_util.tree_unflatten(leaves_paths[1], leaves)
 
 
 class CheckpointManager:

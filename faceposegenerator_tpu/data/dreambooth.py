@@ -47,6 +47,7 @@ class DreamBoothDataset:
         resolution: int = 512,
         center_crop: bool = False,
         seed: int = 0,
+        embed_dim: int = 512,
     ):
         """instance_ids / class_ids: pre-tokenized (77,) prompt ids."""
         self.instance_dir = instance_dir
@@ -60,6 +61,7 @@ class DreamBoothDataset:
         self.embeds_dir = embeds_dir
         self.resolution = resolution
         self.center_crop = center_crop
+        self.embed_dim = embed_dim
         self.rng = np.random.default_rng(seed)
         self._length = max(len(self.instance_images), len(self.class_images) or 1)
 
@@ -88,14 +90,14 @@ class DreamBoothDataset:
         """Per-image embed `<embeds_dir>/<stem>.npy`; falls back to a single
         folder-level embed (legacy layout) or zeros when absent."""
         if self.embeds_dir is None:
-            return np.zeros((512,), np.float32)
+            return np.zeros((self.embed_dim,), np.float32)
         stem = os.path.splitext(image_name)[0]
         p = os.path.join(self.embeds_dir, stem + ".npy")
         if os.path.exists(p):
             e = np.load(p)
         else:
             folder = os.path.join(self.embeds_dir + ".npy")
-            e = np.load(folder) if os.path.exists(folder) else np.zeros((512,), np.float32)
+            e = np.load(folder) if os.path.exists(folder) else np.zeros((self.embed_dim,), np.float32)
         return np.asarray(e, np.float32).reshape(-1)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

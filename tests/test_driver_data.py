@@ -1,0 +1,181 @@
+"""End-to-end ID-Booth driver test on tiny models + FR dataset/augment +
+logging utilities + checkpoint manager."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from faceposegenerator_tpu.core.checkpointing import CheckpointManager, save_pytree, load_pytree
+from faceposegenerator_tpu.core.logging_utils import AverageMeter, ThroughputLogger, nan_check
+from faceposegenerator_tpu.core.precision import PARITY_POLICY
+from faceposegenerator_tpu.data import augment
+from faceposegenerator_tpu.data.fr_dataset import FlatDirDataset, FolderDataset, merge_synthetic_datasets, prefetch
+from faceposegenerator_tpu.models import clip_text, unet2d, vae, iresnet
+from faceposegenerator_tpu.training import idbooth, idbooth_driver
+
+
+TINY = idbooth.ModelBundle(
+    text_cfg=clip_text.CLIPTextConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64
+    ),
+    unet_cfg=unet2d.UNetConfig(
+        block_out_channels=(32, 32, 32, 32), cross_attention_dim=32, head_dim=8
+    ),
+    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32, 32, 32)),
+    arcface_cfg=iresnet.config_for("r18", num_features=64),
+)
+
+
+def _frozen():
+    ap, ast = iresnet.init(jax.random.key(3), TINY.arcface_cfg)
+    return {
+        "text_encoder": clip_text.init(jax.random.key(0), TINY.text_cfg),
+        "unet": unet2d.init(jax.random.key(1), TINY.unet_cfg),
+        "vae": vae.init(jax.random.key(2), TINY.vae_cfg),
+        "arcface": {"params": ap, "state": ast},
+    }
+
+
+def _image_tree(tmp_path, n=2, res=64):
+    from PIL import Image
+
+    inst = tmp_path / "src" / "id_1"
+    cls = tmp_path / "class"
+    inst.mkdir(parents=True)
+    cls.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (res, res, 3), np.uint8)).save(inst / f"{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (res, res, 3), np.uint8)).save(cls / f"{i}.jpg")
+    return str(inst), str(cls)
+
+
+def test_run_identity_end_to_end(tmp_path):
+    inst, cls = _image_tree(tmp_path)
+    cfg = idbooth.IDBoothConfig(
+        which_loss="triplet_prior", resolution=64, num_train_epochs=2,
+        checkpointing_epochs=1, validation_epochs=99,  # skip validation
+        train_batch_size=1,
+    )
+    frozen = _frozen()
+    ids = np.arange(77, dtype=np.int32)
+    out = str(tmp_path / "out")
+    trainable, history = idbooth_driver.run_identity(
+        cfg, TINY, frozen, inst, out,
+        class_dir=cls, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids,
+    )
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+    # checkpoint naming contract + final export
+    names = sorted(os.listdir(out))
+    assert any(n.startswith("checkpoint-0-") for n in names)
+    assert any(n.startswith("checkpoint-1-") for n in names)
+    assert "pytorch_lora_weights.safetensors" in names
+
+    # resume from latest: restores epoch counter, runs only remaining epochs
+    cfg3 = cfg.replace(num_train_epochs=3)
+    _, hist2 = idbooth_driver.run_identity(
+        cfg3, TINY, frozen, inst, out,
+        class_dir=cls, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids, resume=True,
+    )
+    assert len(hist2) == 1  # epochs 2 only
+
+
+def test_checkpoint_manager_prune_and_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), total_limit=2)
+    tree = {"a": np.arange(4.0), "b": [np.ones(2), np.zeros(3)]}
+    opt = {"count": np.array(0)}
+    for e in range(4):
+        mgr.save(e, 100 * (e + 1), tree, opt)
+    ckpts = mgr.list_checkpoints()
+    assert len(ckpts) == 2  # pruned to limit
+    assert mgr.latest().endswith("checkpoint-3-400")
+    t2, o2, epoch, step = mgr.restore(mgr.latest(), tree, opt)
+    assert epoch == 3 and step == 400
+    np.testing.assert_array_equal(np.asarray(t2["a"]), tree["a"])
+
+
+def test_pytree_npz_roundtrip(tmp_path):
+    tree = {"x": {"y": np.arange(3.0)}, "list": [np.ones(2), {"z": np.zeros(1)}]}
+    p = str(tmp_path / "t.npz")
+    save_pytree(tree, p)
+    restored = load_pytree(tree, p)
+    np.testing.assert_array_equal(np.asarray(restored["list"][1]["z"]), tree["list"][1]["z"])
+
+
+def test_flat_dir_dataset(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for label in (3, 7):
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (50, 50, 3), np.uint8)).save(
+                tmp_path / f"{label}_{i}.jpg"
+            )
+    ds = FlatDirDataset(str(tmp_path), augment=augment.get_aug_policy("hf"))
+    assert len(ds) == 6 and ds.num_classes == 2
+    batches = list(ds.batches(2))
+    assert len(batches) == 3
+    assert batches[0]["images"].shape == (2, 112, 112, 3)
+    assert set(np.concatenate([b["labels"] for b in batches]).tolist()) == {0, 1}
+
+
+def test_folder_dataset_and_prefetch(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for c in ("a", "b"):
+        (tmp_path / c).mkdir()
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (30, 30, 3), np.uint8)).save(
+                tmp_path / c / f"{i}.png"
+            )
+    ds = FolderDataset(str(tmp_path))
+    assert len(ds) == 4 and ds.num_classes == 2
+    out = list(prefetch(ds.batches(2)))
+    assert len(out) == 2
+
+
+def test_rand_augment_policies():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    for policy in ("hf", "ra_4_16"):
+        fn = augment.get_aug_policy(policy)
+        out = fn(img, rng)
+        assert out.shape == img.shape and out.dtype == np.uint8
+    with pytest.raises(ValueError):
+        augment.get_aug_policy("nope")
+
+
+def test_merge_synthetic_datasets(tmp_path):
+    from PIL import Image
+
+    synth = tmp_path / "synth"
+    real = tmp_path / "real"
+    out = tmp_path / "merged"
+    synth.mkdir()
+    real.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), np.uint8)).save(synth / f"1_{i}.jpg")
+    Image.fromarray(rng.integers(0, 255, (8, 8, 3), np.uint8)).save(real / "1_real.jpg")
+    n = merge_synthetic_datasets(str(synth), str(real), str(out), samples_per_id=2)
+    assert n == 3  # 2 synthetic (capped) + 1 real
+    assert len(os.listdir(out)) == 3
+
+
+def test_logging_utils():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    tl = ThroughputLogger(frequency=2, total_steps=100)
+    assert tl(2, batch_size=8, metrics={"loss": 1.0}) is not None
+    assert tl(3, batch_size=8) is None  # off-frequency
+    nan_check({"x": np.ones(3)})
+    with pytest.raises(FloatingPointError):
+        nan_check({"x": np.array([np.nan])})
