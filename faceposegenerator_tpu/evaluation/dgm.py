@@ -1,0 +1,249 @@
+"""dgm-eval-style quality evaluation: encoders → representations → metrics.
+
+Behavioral rebuild of the vendored layer6ai `dgm-eval` package the reference
+drives (`Evaluation/dgm-eval/dgm_eval/__main__.py:17-90,142-231,308-371`):
+
+  python -m faceposegenerator_tpu.evaluation.dgm <real_dir> <gen_dir...> \
+      --model arcface --metrics fd kd prdc vendi authpct --nsample 10000
+
+  - encoder registry (`models/load_encoder.py:14-25`): here "pixel"
+    (resized raw pixels), "arcface" (IResNet embedder — weightless fallback
+    is random-init), and a pluggable callable interface for externally
+    provided encoders (DINOv2 etc. need downloaded weights the reference
+    pulls from torch.hub — supply via `register_encoder`).
+  - representations (`representations.py:14-110`): batched encode of image
+    dirs with nsample subsampling (only when the dataset exceeds
+    nsample+2000 — reference quirk, `dataloaders.py`), integer-aware
+    filename ordering, .npz caching keyed by encoder+dir.
+  - per-pair score JSON + aggregate output (`__main__.py:234-281`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import re
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .metrics import (
+    authpct,
+    frechet_distance,
+    frechet_distance_inf,
+    kernel_distance,
+    prdc,
+    sliced_wasserstein,
+    vendi_score,
+    per_class_vendi,
+)
+
+_ENCODERS: Dict[str, Callable[..., Callable]] = {}
+
+
+def register_encoder(name: str, factory: Callable[..., Callable]):
+    """factory(**kw) -> encode_fn((B,H,W,3) uint8 -> (B,D) np.ndarray)."""
+    _ENCODERS[name] = factory
+
+
+def _pixel_encoder(size: int = 32, **kw):
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        out = []
+        for img in batch:
+            small = np.asarray(
+                Image.fromarray(img).resize((size, size), Image.BILINEAR), np.float32
+            )
+            out.append(small.reshape(-1) / 255.0)
+        return np.stack(out)
+
+    return encode
+
+
+def _arcface_encoder(weights_path: Optional[str] = None, **kw):
+    import jax
+
+    from ..core.precision import DEFAULT_POLICY
+    from ..models import iresnet
+
+    cfg = iresnet.config_for("r100")
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
+
+        params, state = convert_iresnet_state_dict(load_torch_pth(weights_path), cfg)
+    else:
+        params, state = iresnet.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(x):
+        e, _ = iresnet.apply(params, state, x, cfg, policy=DEFAULT_POLICY, train=False)
+        return e
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((112, 112), Image.BILINEAR), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - 0.5) / 0.5
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+register_encoder("pixel", _pixel_encoder)
+register_encoder("arcface", _arcface_encoder)
+
+
+def _file_order_key(name: str):
+    """Integer-aware ordering (`dataloaders.py` get_order quirk)."""
+    nums = re.findall(r"\d+", os.path.basename(name))
+    return (int(nums[0]) if nums else 0, name)
+
+
+def list_dataset_images(path: str) -> List[str]:
+    out = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp", ".webp")):
+                out.append(os.path.join(root, f))
+    return sorted(out, key=_file_order_key)
+
+
+def image_labels(paths: List[str], root: str) -> np.ndarray:
+    """Class labels from the first-level subdirectory (conditional layout)."""
+    labels = []
+    for p in paths:
+        rel = os.path.relpath(p, root)
+        parts = rel.split(os.sep)
+        labels.append(parts[0] if len(parts) > 1 else "0")
+    uniq = {l: i for i, l in enumerate(sorted(set(labels)))}
+    return np.asarray([uniq[l] for l in labels])
+
+
+def compute_representations(
+    path: str,
+    encoder: Callable,
+    encoder_name: str,
+    nsample: int = 10000,
+    seed: int = 0,
+    batch_size: int = 64,
+    cache_dir: Optional[str] = None,
+):
+    """Returns (reps (N,D), labels (N,)). Subsamples only when the dataset
+    exceeds nsample+2000 (reference quirk)."""
+    paths = list_dataset_images(path)
+    if len(paths) > nsample + 2000:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(len(paths), nsample, replace=False))
+        paths = [paths[i] for i in idx]
+
+    cache_path = None
+    if cache_dir:
+        digest = hashlib.sha1(
+            json.dumps([encoder_name, path, nsample, seed, len(paths)]).encode()
+        ).hexdigest()[:16]
+        cache_path = os.path.join(cache_dir, f"reps_{encoder_name}_{digest}.npz")
+        if os.path.exists(cache_path):
+            data = np.load(cache_path, allow_pickle=False)
+            return data["reps"], data["labels"]
+
+    from PIL import Image
+
+    reps = []
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start : start + batch_size]
+        batch = np.stack(
+            [np.asarray(Image.open(p).convert("RGB"), np.uint8) for p in chunk]
+        )
+        reps.append(encoder(batch))
+    reps = np.concatenate(reps) if reps else np.zeros((0, 1))
+    labels = image_labels(paths, path)
+
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache_path, reps=reps, labels=labels)
+    return reps, labels
+
+
+def compute_scores(
+    metrics: List[str],
+    reps_real: np.ndarray,
+    reps_gen: np.ndarray,
+    labels_gen: Optional[np.ndarray] = None,
+    nearest_k: int = 5,
+    seed: int = 0,
+) -> Dict:
+    """Metric dispatch (reference `compute_scores:142-231`)."""
+    scores: Dict = {}
+    for m in metrics:
+        if m == "fd":
+            scores["fd"] = frechet_distance(reps_real, reps_gen)
+        elif m == "fd_infinity":
+            scores["fd_infinity"] = frechet_distance_inf(reps_real, reps_gen, seed=seed)
+        elif m in ("kd", "kid", "mmd"):
+            mean, std = kernel_distance(reps_real, reps_gen, seed=seed)
+            scores["kd_value"] = mean
+            scores["kd_variance"] = std
+        elif m == "prdc":
+            scores.update(prdc(reps_real, reps_gen, nearest_k=nearest_k, realism=True))
+        elif m == "vendi":
+            scores["vendi"] = vendi_score(reps_gen)
+            if labels_gen is not None and len(set(labels_gen.tolist())) > 1:
+                scores["per_class_vendi"] = per_class_vendi(reps_gen, labels_gen)["mean_vendi"]
+        elif m == "authpct":
+            scores["authpct"] = authpct(reps_real, reps_gen)
+        elif m == "sw":
+            scores["sw_approx"] = sliced_wasserstein(reps_real, reps_gen, seed=seed)
+        else:
+            raise ValueError(f"unknown metric {m!r}")
+    return scores
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="dgm-eval equivalent")
+    ap.add_argument("path", nargs="+", help="real dir followed by generated dir(s)")
+    ap.add_argument("--model", default="pixel", help="encoder name")
+    ap.add_argument("--metrics", nargs="+", default=["fd", "kd", "prdc", "vendi", "authpct"])
+    ap.add_argument("--nsample", type=int, default=10000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--nearest_k", type=int, default=5)
+    ap.add_argument("--output_dir", default="dgm_eval_out")
+    ap.add_argument("--arcface_weights", default=None)
+    args = ap.parse_args(argv)
+
+    encoder = _ENCODERS[args.model](weights_path=args.arcface_weights) if args.model == "arcface" else _ENCODERS[args.model]()
+    real_path, gen_paths = args.path[0], args.path[1:]
+    reps_real, _ = compute_representations(
+        real_path, encoder, args.model, args.nsample, args.seed, args.batch_size,
+        cache_dir=args.output_dir,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    all_scores = {}
+    for gen in gen_paths:
+        reps_gen, labels_gen = compute_representations(
+            gen, encoder, args.model, args.nsample, args.seed, args.batch_size,
+            cache_dir=args.output_dir,
+        )
+        scores = compute_scores(
+            args.metrics, reps_real, reps_gen, labels_gen, args.nearest_k, args.seed
+        )
+        name = os.path.basename(os.path.normpath(gen))
+        all_scores[name] = scores
+        with open(os.path.join(args.output_dir, f"scores_{name}.json"), "w") as f:
+            json.dump(scores, f, indent=2)
+        print(json.dumps({name: scores}))
+    with open(os.path.join(args.output_dir, "aggregate.json"), "w") as f:
+        json.dump(all_scores, f, indent=2)
+    return all_scores
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,8 @@ def _fold_indices(n: int, n_folds: int):
 
 
 def calculate_accuracy(threshold: float, dist: np.ndarray, issame: np.ndarray):
+    if dist.size == 0:
+        return 0.0, 0.0, 0.0
     pred = dist < threshold
     tp = np.sum(pred & issame)
     fp = np.sum(pred & ~issame)
@@ -160,6 +162,7 @@ def evaluate(embeddings: np.ndarray, issame: np.ndarray, n_folds: int = 10):
     """embeddings interleaved (2N, D): pairs (0,1), (2,3), ..."""
     e1, e2 = embeddings[0::2], embeddings[1::2]
     thresholds = np.arange(0, 4, 0.01)
+    n_folds = max(min(n_folds, len(issame)), 2)  # robust to tiny pair sets
     tpr, fpr, accuracy = calculate_roc(thresholds, e1, e2, issame, n_folds)
     val, val_std, far = calculate_val(thresholds, e1, e2, issame, 1e-3, n_folds)
     return tpr, fpr, accuracy, val, val_std, far
