@@ -1,0 +1,316 @@
+"""Command-line entry points mirroring the reference's script surface.
+
+    python -m faceposegenerator_tpu.cli <command> [args]
+
+Commands ↔ reference scripts:
+  train-idbooth   ↔ train_ID-Booth.py        (losses × identities sweep)
+  generate        ↔ inference_ID-Booth.py    (prompt-grid synthesis sweep)
+  extract-embeds  ↔ extract_ArcFace_embeds.py
+  align-crop      ↔ utils/detect_align_crop_data.py
+  train-fr        ↔ FR_training/train_FR.py
+  test-fr         ↔ FR_training/test_FR.py
+  dgm-eval        ↔ python -m dgm_eval
+  pyeer           ↔ Evaluation/PyEER_analysis/analyse_pyeer_ID-Booth.py
+  fiqa            ↔ Evaluation/CR-FIQA/getQualityScore…
+  pose            ↔ Evaluation/PoseEstimation notebook
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(ap):
+    ap.add_argument("--model_dir", default=None, help="local SD2.1 diffusers dir")
+    ap.add_argument("--seed", type=int, default=0)
+
+
+def cmd_train_idbooth(argv):
+    ap = argparse.ArgumentParser(prog="train-idbooth")
+    _add_common(ap)
+    ap.add_argument("--source_folder", required=True)
+    ap.add_argument("--output_folder", default="Trained_LoRA_Models")
+    ap.add_argument("--class_data_dir", default=None)
+    ap.add_argument("--embeds_root", default=None)
+    ap.add_argument("--arcface_weights", default=None)
+    ap.add_argument("--losses", nargs="+", default=["", "identity", "triplet_prior"])
+    ap.add_argument("--num_train_epochs", type=int, default=32)
+    ap.add_argument("--lora_rank", type=int, default=4)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--resolution", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from .bridge.torch_weights import (
+        convert_iresnet_state_dict,
+        load_sd21_params,
+        load_torch_pth,
+    )
+    from .data.tokenizer import CLIPTokenizer
+    from .models import iresnet
+    from .training import idbooth, idbooth_driver
+
+    cfg = idbooth.IDBoothConfig(
+        losses_to_test=tuple(args.losses),
+        num_train_epochs=args.num_train_epochs,
+        lora_rank=args.lora_rank,
+        learning_rate=args.learning_rate,
+        resolution=args.resolution,
+        seed=args.seed,
+    )
+    bundle = idbooth.ModelBundle()
+    if args.model_dir is None:
+        ap.error("--model_dir with SD2.1 weights is required for real training")
+    frozen = load_sd21_params(args.model_dir)
+    if args.arcface_weights:
+        ap_, st_ = convert_iresnet_state_dict(load_torch_pth(args.arcface_weights))
+    else:
+        ap_, st_ = iresnet.init(jax.random.key(0), bundle.arcface_cfg)
+    frozen["arcface"] = {"params": ap_, "state": st_}
+    tokenizer = CLIPTokenizer.from_pretrained(os.path.join(args.model_dir, "tokenizer"))
+    idbooth_driver.run_experiment_sweep(
+        cfg, bundle, frozen, args.source_folder, args.output_folder,
+        tokenizer=tokenizer, embeds_root=args.embeds_root, class_dir=args.class_data_dir,
+    )
+
+
+def cmd_generate(argv):
+    ap = argparse.ArgumentParser(prog="generate")
+    _add_common(ap)
+    ap.add_argument("--lora_root", required=True)
+    ap.add_argument("--output", default="Generated_Samples")
+    ap.add_argument("--gender_dict", default=None)
+    ap.add_argument("--checkpoint", default="checkpoint-31-6400")
+    ap.add_argument("--num_prompts", type=int, default=21)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--guidance", type=float, default=5.0)
+    ap.add_argument("--batch_size", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from .pipelines import StableDiffusionPipeline
+    from .pipelines.sweep import run_sweep
+
+    pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
+    pipe.set_scheduler("ddpm")
+    run_sweep(
+        pipe, args.lora_root, args.output,
+        gender_dict_path=args.gender_dict, checkpoint=args.checkpoint,
+        num_prompts=args.num_prompts, num_inference_steps=args.steps,
+        guidance_scale=args.guidance, batch_size=args.batch_size, seed=args.seed,
+    )
+
+
+def cmd_extract_embeds(argv):
+    ap = argparse.ArgumentParser(prog="extract-embeds")
+    ap.add_argument("--images_root", required=True)
+    ap.add_argument("--output_root", required=True)
+    ap.add_argument("--arcface_weights", default=None)
+    ap.add_argument("--mtcnn_weights", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from .models import iresnet, mtcnn
+    from .pipelines.embed_extract import extract_folder_embeddings, make_arcface_embed_fn
+
+    if args.arcface_weights:
+        from .bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
+
+        params, state = convert_iresnet_state_dict(load_torch_pth(args.arcface_weights))
+    else:
+        params, state = iresnet.init(jax.random.key(0), iresnet.IResNetConfig())
+    detector = None
+    if args.mtcnn_weights:
+        from .bridge.torch_weights import load_torch_pth
+
+        detector = mtcnn.MTCNN(mtcnn.convert_mtcnn_state_dict(load_torch_pth(args.mtcnn_weights)))
+    embed_fn = make_arcface_embed_fn(params, state)
+    report = extract_folder_embeddings(args.images_root, args.output_root, embed_fn, detector)
+    print(json.dumps({"missing": len(report["files_without_faces"])}))
+
+
+def cmd_align_crop(argv):
+    ap = argparse.ArgumentParser(prog="align-crop")
+    ap.add_argument("--input_root", required=True)
+    ap.add_argument("--output_root", required=True)
+    ap.add_argument("--mtcnn_weights", default=None)
+    args = ap.parse_args(argv)
+
+    from .data.align_driver import align_dataset_sweep
+    from .models import mtcnn
+
+    params = None
+    if args.mtcnn_weights:
+        from .bridge.torch_weights import load_torch_pth
+
+        params = mtcnn.convert_mtcnn_state_dict(load_torch_pth(args.mtcnn_weights))
+    detector = mtcnn.MTCNN(params)
+    reports = align_dataset_sweep(args.input_root, args.output_root, detector)
+    print(json.dumps({m: len(r["missing_images"]) for m, r in reports.items()}))
+
+
+def cmd_train_fr(argv):
+    ap = argparse.ArgumentParser(prog="train-fr")
+    ap.add_argument("--dataset_root", required=True, help="flat `<label>_<img>` dir")
+    ap.add_argument("--output", default="FR_runs")
+    ap.add_argument("--network", default="iresnet50")
+    ap.add_argument("--loss", default="AdaFace")
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--num_epochs", type=int, default=200)
+    ap.add_argument("--augment", default="hf")
+    ap.add_argument("--val_bin", action="append", default=[], help="name=path.bin")
+    args = ap.parse_args(argv)
+
+    from .data.augment import get_aug_policy
+    from .data.fr_dataset import FlatDirDataset
+    from .evaluation import verification
+    from .training import fr, fr_driver
+
+    cfg = fr.FRConfig(
+        network=args.network, loss=args.loss, batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+    )
+    dataset = FlatDirDataset(args.dataset_root, augment=get_aug_policy(args.augment))
+    bins = {}
+    for spec in args.val_bin:
+        name, path = spec.split("=", 1)
+        bins[name] = verification.load_bin(path)
+    res = fr_driver.train_fr_run(cfg, dataset, args.output, val_bins=bins or None)
+    print(json.dumps({"best_acc": res.get("best_acc")}))
+
+
+def cmd_test_fr(argv):
+    ap = argparse.ArgumentParser(prog="test-fr")
+    ap.add_argument("--backbone", required=True)
+    ap.add_argument("--network", default="iresnet50")
+    ap.add_argument("--num_classes", type=int, required=True)
+    ap.add_argument("--output_json", default="test_FR_results.json")
+    ap.add_argument("--val_bin", action="append", default=[], required=False)
+    args = ap.parse_args(argv)
+
+    from .evaluation import verification
+    from .training import fr, fr_driver
+
+    cfg = fr.FRConfig(network=args.network, num_classes=args.num_classes)
+    bins = {}
+    for spec in args.val_bin:
+        name, path = spec.split("=", 1)
+        bins[name] = verification.load_bin(path)
+    res = fr_driver.test_fr_run(cfg, args.backbone, bins, args.output_json)
+    print(json.dumps(res))
+
+
+def cmd_dgm_eval(argv):
+    from .evaluation.dgm import main as dgm_main
+
+    dgm_main(argv)
+
+
+def cmd_pyeer(argv):
+    ap = argparse.ArgumentParser(prog="pyeer")
+    ap.add_argument("--synth_embeds_dir", required=True, help="dir of <id>_<img>.npy")
+    ap.add_argument("--real_embeds_dir", default=None)
+    ap.add_argument("--output", default="pyeer_out")
+    ap.add_argument("--name", default="run")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .evaluation.pyeer_driver import analyse_from_embedding_files
+
+    def load_dir(d):
+        names, embs = [], []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".npy"):
+                names.append(os.path.splitext(f)[0])
+                embs.append(np.load(os.path.join(d, f)))
+        return np.stack(embs), names
+
+    synth, snames = load_dir(args.synth_embeds_dir)
+    real, rnames = (None, None)
+    if args.real_embeds_dir:
+        real, rnames = load_dir(args.real_embeds_dir)
+    res = analyse_from_embedding_files(
+        synth, snames, real, rnames, output_dir=args.output, name=args.name
+    )
+    print(json.dumps(res, indent=2))
+
+
+def cmd_fiqa(argv):
+    ap = argparse.ArgumentParser(prog="fiqa")
+    ap.add_argument("--image_dir", required=True)
+    ap.add_argument("--output", default="fiqa_scores.txt")
+    ap.add_argument("--weights", default=None, help="CR-FIQA checkpoint (.pth)")
+    ap.add_argument("--network", default="r100")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from .evaluation import fiqa
+    from .models import iresnet
+
+    cfg = iresnet.config_for(args.network)
+    if args.weights:
+        from .bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
+
+        sd = load_torch_pth(args.weights)
+        params, state = convert_iresnet_state_dict(sd, cfg)
+        qs = fiqa.convert_qs_from_state_dict(sd)
+    else:
+        params, state = iresnet.init(jax.random.key(0), cfg)
+        qs = fiqa.init_qs_head(jax.random.key(1))
+    fn = fiqa.make_quality_fn(params, state, qs, cfg)
+    scores = fiqa.score_dataset(args.image_dir, fn, args.output)
+    print(json.dumps({"scored": len(scores)}))
+
+
+def cmd_pose(argv):
+    ap = argparse.ArgumentParser(prog="pose")
+    ap.add_argument("--image_root", required=True)
+    ap.add_argument("--output_json", default="poses.json")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from .evaluation import pose
+
+    params = pose.init_sixdrepnet(jax.random.key(0))
+    fn = pose.make_pose_fn(params)
+    res = pose.estimate_dataset_poses(args.image_root, fn, args.output_json)
+    print(json.dumps(res["global"]))
+
+
+COMMANDS = {
+    "train-idbooth": cmd_train_idbooth,
+    "generate": cmd_generate,
+    "extract-embeds": cmd_extract_embeds,
+    "align-crop": cmd_align_crop,
+    "train-fr": cmd_train_fr,
+    "test-fr": cmd_test_fr,
+    "dgm-eval": cmd_dgm_eval,
+    "pyeer": cmd_pyeer,
+    "fiqa": cmd_fiqa,
+    "pose": cmd_pose,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(sorted(COMMANDS)))
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; available: {', '.join(sorted(COMMANDS))}")
+        return 2
+    COMMANDS[cmd](rest)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Identity consistency / separability analysis (PyEER driver).
+
+Behavioral rebuild of `Evaluation/PyEER_analysis/analyse_pyeer_ID-Booth.py`:
+for each (model-variant, config) pair build genuine/impostor cosine scores
+— AmongSynth (intra vs cross identity within synthetic data) and
+SynthVsReal (synthetic×real same/different identity) — compute EER stats +
+FDR, save a JSON report and a score-distribution histogram plot
+(`:60-61,102-173`), plus pyeer-style CSV/JSON report writers
+(`pyeer_scripts/report` surface).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .eer import EERStats, get_eer_stats
+from .pairs import among_synth_pairs, group_by_identity, synth_vs_real_pairs
+
+
+def stats_to_dict(st: EERStats) -> Dict:
+    d = dataclasses.asdict(st)
+    d.pop("thrs"), d.pop("fmr"), d.pop("fnmr")
+    return {k: float(v) for k, v in d.items()}
+
+
+def save_histogram(gen: np.ndarray, imp: np.ndarray, path: str, bins: int = 100):
+    """Score-distribution histogram (matplotlib if present, else npz)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(imp, bins=bins, alpha=0.6, density=True, label="impostor")
+        ax.hist(gen, bins=bins, alpha=0.6, density=True, label="genuine")
+        ax.set_xlabel("cosine similarity")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(path)
+        plt.close(fig)
+    except ImportError:
+        np.savez(os.path.splitext(path)[0] + ".npz", genuine=gen, impostor=imp)
+
+
+def analyse(
+    synth_by_id: Dict[str, np.ndarray],
+    real_by_id: Optional[Dict[str, np.ndarray]] = None,
+    output_dir: Optional[str] = None,
+    name: str = "run",
+    min_samples: int = 8,
+    skip_among: int = 18,
+    skip_vs_real: int = 17,
+) -> Dict:
+    """Run both configs; returns {config: stats dict} and writes JSON+plots."""
+    results: Dict = {}
+
+    gen, imp = among_synth_pairs(synth_by_id, min_samples=min_samples, samples_skip=skip_among)
+    if len(gen) and len(imp):
+        st = get_eer_stats(gen, imp)
+        results["AmongSynth"] = stats_to_dict(st)
+        if output_dir:
+            save_histogram(gen, imp, os.path.join(output_dir, f"{name}_AmongSynth_hist.png"))
+
+    if real_by_id is not None:
+        gen, imp = synth_vs_real_pairs(synth_by_id, real_by_id, samples_skip=skip_vs_real)
+        if len(gen) and len(imp):
+            st = get_eer_stats(gen, imp)
+            results["SynthVsReal"] = stats_to_dict(st)
+            if output_dir:
+                save_histogram(gen, imp, os.path.join(output_dir, f"{name}_SynthVsReal_hist.png"))
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, f"{name}_pyeer.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        write_csv_report(results, os.path.join(output_dir, f"{name}_pyeer.csv"))
+    return results
+
+
+def write_csv_report(results: Dict, path: str):
+    """pyeer-style CSV report writer (one row per config)."""
+    if not results:
+        return
+    keys = sorted(next(iter(results.values())).keys())
+    with open(path, "w") as f:
+        f.write("config," + ",".join(keys) + "\n")
+        for cfg_name, stats in results.items():
+            f.write(cfg_name + "," + ",".join(f"{stats[k]:.6f}" for k in keys) + "\n")
+
+
+def analyse_from_embedding_files(
+    synth_embeds: np.ndarray,
+    synth_names,
+    real_embeds: Optional[np.ndarray] = None,
+    real_names=None,
+    **kw,
+) -> Dict:
+    """Convenience: group flat `<id>_<img>` embedding arrays by identity
+    (the `save_emb_2_id` convention, `create_boundary_data.py:24-63`)."""
+    synth_by_id = group_by_identity(synth_embeds, list(synth_names))
+    real_by_id = (
+        group_by_identity(real_embeds, list(real_names)) if real_embeds is not None else None
+    )
+    return analyse(synth_by_id, real_by_id, **kw)
