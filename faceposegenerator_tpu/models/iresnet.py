@@ -39,6 +39,9 @@ DEPTHS = {
     "r50": (3, 4, 14, 3),
     "r100": (3, 13, 30, 3),
     "r200": (6, 26, 60, 3),
+    # deep variant trained with per-block activation checkpointing
+    # (`ArcFace_files/backbones/iresnet2060.py:175`: layers [3,128,896,3])
+    "r2060": (3, 128, 896, 3),
 }
 STAGE_PLANES = (64, 128, 256, 512)
 
@@ -51,6 +54,13 @@ class IResNetConfig:
     fc_scale: int = 7 * 7
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
+    # SE attention in blocks — the FR-training backbone variant
+    # (`FR_training/backbones/iresnet.py:27-90`: SEModule(planes, 16))
+    use_se: bool = False
+    se_reduction: int = 16
+    # per-block rematerialisation (TPU equivalent of the reference's
+    # `checkpoint_sequential` in iresnet2060)
+    remat: bool = False
 
 
 def config_for(name: str, **kw) -> IResNetConfig:
@@ -95,6 +105,10 @@ def init(key: jax.Array, cfg: IResNetConfig = IResNetConfig(), dtype=jnp.float32
             if stride != 1 or cin != planes:
                 bp["down_conv"] = _conv_init(nk(), 1, 1, cin, planes, dtype)
                 bp["down_bn"], bs["down_bn"] = _bn_init(planes, dtype)
+            if cfg.use_se:
+                r = max(planes // cfg.se_reduction, 1)
+                bp["se_fc1"] = _conv_init(nk(), 1, 1, planes, r, dtype)
+                bp["se_fc2"] = _conv_init(nk(), 1, 1, r, planes, dtype)
             blocks_p.append(bp)
             blocks_s.append(bs)
             cin = planes
@@ -155,18 +169,30 @@ def apply(
         new_blocks = []
         for b, (bp, bs) in enumerate(zip(blocks_p, blocks_s)):
             stride = 2 if b == 0 else 1
-            nbs = {}
-            identity = x
-            h, nbs["bn1"] = _bn(x, bp["bn1"], bs["bn1"], train, cfg, axis_name)
-            h = conv2d(h, bp["conv1"])
-            h, nbs["bn2"] = _bn(h, bp["bn2"], bs["bn2"], train, cfg, axis_name)
-            h = _prelu(h, bp["prelu"])
-            h = conv2d(h, bp["conv2"], stride=stride)
-            h, nbs["bn3"] = _bn(h, bp["bn3"], bs["bn3"], train, cfg, axis_name)
-            if "down_conv" in bp:
-                identity = conv2d(identity, bp["down_conv"], stride=stride, padding=0)
-                identity, nbs["down_bn"] = _bn(identity, bp["down_bn"], bs["down_bn"], train, cfg, axis_name)
-            x = h + identity
+
+            def block_fn(x, bp=bp, bs=bs, stride=stride):
+                nbs = {}
+                identity = x
+                h, nbs["bn1"] = _bn(x, bp["bn1"], bs["bn1"], train, cfg, axis_name)
+                h = conv2d(h, bp["conv1"])
+                h, nbs["bn2"] = _bn(h, bp["bn2"], bs["bn2"], train, cfg, axis_name)
+                h = _prelu(h, bp["prelu"])
+                h = conv2d(h, bp["conv2"], stride=stride)
+                h, nbs["bn3"] = _bn(h, bp["bn3"], bs["bn3"], train, cfg, axis_name)
+                if "se_fc1" in bp:
+                    # SE attention (`FR_training/backbones/iresnet.py:27-45`)
+                    pooled = jnp.mean(h, axis=(1, 2), keepdims=True)
+                    a = jax.nn.relu(conv2d(pooled, bp["se_fc1"], padding=0))
+                    a = jax.nn.sigmoid(conv2d(a, bp["se_fc2"], padding=0))
+                    h = h * a
+                if "down_conv" in bp:
+                    identity = conv2d(identity, bp["down_conv"], stride=stride, padding=0)
+                    identity, nbs["down_bn"] = _bn(identity, bp["down_bn"], bs["down_bn"], train, cfg, axis_name)
+                return h + identity, nbs
+
+            if cfg.remat:
+                block_fn = jax.checkpoint(block_fn)
+            x, nbs = block_fn(x)
             new_blocks.append(nbs)
         new_state[f"layer{s + 1}"] = new_blocks
 
