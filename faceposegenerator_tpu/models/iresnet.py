@@ -58,6 +58,9 @@ class IResNetConfig:
     # (`FR_training/backbones/iresnet.py:27-90`: SEModule(planes, 16))
     use_se: bool = False
     se_reduction: int = 16
+    # 4 for the VIS+NIR RGBN pipeline (`FR_training/utils/
+    # verification_4channel.py`, `dataset.py` ArcBiFaceGANDataset_VISNIR)
+    in_channels: int = 3
     # per-block rematerialisation (TPU equivalent of the reference's
     # `checkpoint_sequential` in iresnet2060)
     remat: bool = False
@@ -86,7 +89,7 @@ def init(key: jax.Array, cfg: IResNetConfig = IResNetConfig(), dtype=jnp.float32
     nk = lambda: next(keys)
     params, state = {}, {}
 
-    params["conv1"] = _conv_init(nk(), 3, 3, 3, 64, dtype)
+    params["conv1"] = _conv_init(nk(), 3, 3, cfg.in_channels, 64, dtype)
     params["bn1"], state["bn1"] = _bn_init(64, dtype)
     params["prelu1"] = jnp.full((64,), 0.25, dtype)
 
