@@ -27,7 +27,7 @@ def main():
     from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
     from faceposegenerator_tpu.models import clip_text, unet2d, vae
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     attn = os.environ.get("BENCH_ATTN", "auto")

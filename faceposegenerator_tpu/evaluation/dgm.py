@@ -31,6 +31,8 @@ import numpy as np
 
 from .metrics import (
     authpct,
+    ct_score,
+    fls,
     frechet_distance,
     frechet_distance_inf,
     kernel_distance,
@@ -179,10 +181,20 @@ def compute_scores(
     labels_gen: Optional[np.ndarray] = None,
     nearest_k: int = 5,
     seed: int = 0,
+    reps_test: Optional[np.ndarray] = None,
 ) -> Dict:
-    """Metric dispatch (reference `compute_scores:142-231`)."""
+    """Metric dispatch (reference `compute_scores:142-231`). `ct` and `fls`
+    need a held-out test set (reference `:198-225`)."""
     scores: Dict = {}
     for m in metrics:
+        if m in ("ct", "fls") and reps_test is None:
+            continue  # reference also skips these without a test path
+        if m == "ct":
+            scores.update(ct_score(reps_real, reps_test, reps_gen, seed=seed))
+            continue
+        if m == "fls":
+            scores.update(fls(reps_real, reps_test, reps_gen))
+            continue
         if m == "fd":
             scores["fd"] = frechet_distance(reps_real, reps_gen)
         elif m == "fd_infinity":
@@ -217,6 +229,7 @@ def main(argv=None):
     ap.add_argument("--nearest_k", type=int, default=5)
     ap.add_argument("--output_dir", default="dgm_eval_out")
     ap.add_argument("--arcface_weights", default=None)
+    ap.add_argument("--test_path", default=None, help="held-out set for ct/fls")
     args = ap.parse_args(argv)
 
     encoder = _ENCODERS[args.model](weights_path=args.arcface_weights) if args.model == "arcface" else _ENCODERS[args.model]()
@@ -225,6 +238,12 @@ def main(argv=None):
         real_path, encoder, args.model, args.nsample, args.seed, args.batch_size,
         cache_dir=args.output_dir,
     )
+    reps_test = None
+    if args.test_path:
+        reps_test, _ = compute_representations(
+            args.test_path, encoder, args.model, args.nsample, args.seed,
+            args.batch_size, cache_dir=args.output_dir,
+        )
     os.makedirs(args.output_dir, exist_ok=True)
     all_scores = {}
     for gen in gen_paths:
@@ -233,7 +252,8 @@ def main(argv=None):
             cache_dir=args.output_dir,
         )
         scores = compute_scores(
-            args.metrics, reps_real, reps_gen, labels_gen, args.nearest_k, args.seed
+            args.metrics, reps_real, reps_gen, labels_gen, args.nearest_k,
+            args.seed, reps_test=reps_test,
         )
         name = os.path.basename(os.path.normpath(gen))
         all_scores[name] = scores
