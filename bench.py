@@ -7,8 +7,10 @@ Runs on whatever chip `jax.devices()[0]` is (the driver runs it on real TPU).
 Weights are randomly initialised — throughput is weight-agnostic. Prints ONE
 JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_BATCH (default 8), BENCH_STEPS (default 30),
-BENCH_REPEATS (default 3), BENCH_ATTN (auto|flash|reference).
+Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 30),
+BENCH_REPEATS (default 3), BENCH_ATTN (auto|flash|reference),
+BENCH_KIND (sample [default] | train | embed — the BASELINE.md configs:
+txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace embed extraction).
 """
 
 from __future__ import annotations
@@ -20,6 +22,87 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the 512² sampler is a big XLA program and
+# (remote) compiles take ~10 min; cache hits bring reruns to seconds.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_train(batch: int, repeats: int):
+    """ID-Booth LoRA fine-tune step throughput (BASELINE config 4)."""
+    from faceposegenerator_tpu.core.precision import Policy
+    from faceposegenerator_tpu.models import clip_text, unet2d, vae, iresnet
+    from faceposegenerator_tpu.training import idbooth
+
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    bundle = idbooth.ModelBundle(arcface_cfg=iresnet.config_for("r100"))
+    ap, ast = iresnet.init(jax.random.key(3), bundle.arcface_cfg)
+    frozen = {
+        "text_encoder": clip_text.init(jax.random.key(0), bundle.text_cfg, dtype=jnp.bfloat16),
+        "unet": unet2d.init(jax.random.key(1), bundle.unet_cfg, dtype=jnp.bfloat16),
+        "vae": vae.init(jax.random.key(2), bundle.vae_cfg, dtype=jnp.bfloat16),
+        "arcface": {"params": ap, "state": ast},
+    }
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", train_batch_size=batch)
+    trainable = idbooth.init_trainable(jax.random.key(4), cfg, bundle, frozen["unet"])
+    import optax
+
+    opt = idbooth.make_optimizer(cfg, total_steps=1000)
+    opt_state = opt.init(trainable)
+    step = idbooth.make_train_step(cfg, bundle, opt, policy=policy, donate=False)
+    batch_data = {
+        "pixel_values": jax.random.uniform(jax.random.key(5), (2 * batch, 512, 512, 3), minval=-1, maxval=1),
+        "input_ids": jax.random.randint(jax.random.key(6), (2 * batch, 77), 0, 49408),
+        "gt_embeds": jax.random.normal(jax.random.key(7), (2 * batch, 512)),
+    }
+    t2, o2, m = step(trainable, opt_state, frozen, batch_data, jax.random.key(0))
+    jax.block_until_ready(m)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        t2, o2, m = step(t2, o2, frozen, batch_data, jax.random.key(i))
+        jax.block_until_ready(m)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": f"ID-Booth train imgs/sec/chip 512x512 triplet-loss bs{batch}(+prior)",
+        "value": round(batch / best, 3),
+        "unit": "img/s",
+        "vs_baseline": round(batch / best, 3),
+        "extra": {"step_s": round(best, 3), "device": str(jax.devices()[0])},
+    }
+
+
+def bench_embed(batch: int, repeats: int):
+    """Batched ArcFace r100 embed extraction (BASELINE config 3)."""
+    from faceposegenerator_tpu.core.precision import Policy
+    from faceposegenerator_tpu.models import iresnet
+
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    cfg = iresnet.config_for("r100")
+    params, state = iresnet.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def embed(x):
+        e, _ = iresnet.apply(params, state, x, cfg, policy=policy, train=False)
+        return e
+
+    x = jax.random.uniform(jax.random.key(1), (batch, 112, 112, 3), minval=-1, maxval=1)
+    embed(x).block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        embed(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": f"ArcFace r100 embeds/sec/chip 112x112 bs{batch}",
+        "value": round(batch / best, 1),
+        "unit": "img/s",
+        "vs_baseline": round(batch / best / 1000.0, 3),
+        "extra": {"batch_s": round(best, 4), "device": str(jax.devices()[0])},
+    }
+
 
 def main():
     from faceposegenerator_tpu.core.precision import Policy
@@ -27,10 +110,18 @@ def main():
     from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
     from faceposegenerator_tpu.models import clip_text, unet2d, vae
 
+    kind = os.environ.get("BENCH_KIND", "sample")
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     attn = os.environ.get("BENCH_ATTN", "auto")
+
+    if kind == "train":
+        print(json.dumps(bench_train(int(os.environ.get("BENCH_BATCH", "4")), repeats)))
+        return
+    if kind == "embed":
+        print(json.dumps(bench_embed(int(os.environ.get("BENCH_BATCH", "256")), repeats)))
+        return
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     models = SamplerModels(attn_impl=attn)

@@ -136,3 +136,21 @@ def sample(
     # --- decode ------------------------------------------------------------
     images = vae.decode(params["vae"], x, models.vae_cfg, policy=policy)
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+
+
+def sample_data_parallel(mesh, params, schedule, input_ids, negative_input_ids, key, **kw):
+    """Sharded sampling: batch over the mesh "data" axis, params replicated.
+
+    The reference parallelizes generation only by running whole processes
+    per GPU; here one `sample` program SPMD-shards the prompt batch across
+    chips (collectives ride ICI; per-chip batch = B / n_data). `input_ids`
+    batch must divide the data-axis size.
+    """
+    from ..core.mesh import replicate, shard_batch
+
+    ids, neg = shard_batch(mesh, (input_ids, negative_input_ids))
+    params_r = replicate(mesh, params)
+    lora = kw.pop("lora", None)
+    if lora is not None:
+        lora = replicate(mesh, lora)
+    return sample(params_r, schedule, ids, neg, key, lora=lora, **kw)

@@ -171,11 +171,16 @@ def make_loss_fn(
         timesteps = jax.random.randint(k_t, (n,), 0, T)
         noisy = schedule.add_noise(latents, noise, timesteps)
 
-        # text conditioning (train_ID-Booth.py:1024)
-        text_lora = trainable.get("text_lora") if cfg.train_text_encoder else None
-        ctx = clip_text.apply(
-            frozen["text_encoder"], ids, models.text_cfg, policy=policy, lora=text_lora
-        )
+        # text conditioning (train_ID-Booth.py:1024); precomputed embeddings
+        # short-circuit the CLIP forward (pre_compute_text_embeddings path,
+        # `train_ID-Booth.py:813-849,1021-1022`)
+        if "encoder_hidden_states" in batch:
+            ctx = batch["encoder_hidden_states"].astype(policy.compute_dtype)
+        else:
+            text_lora = trainable.get("text_lora") if cfg.train_text_encoder else None
+            ctx = clip_text.apply(
+                frozen["text_encoder"], ids, models.text_cfg, policy=policy, lora=text_lora
+            )
 
         pred = unet2d.apply(
             frozen["unet"], noisy, timesteps, ctx, models.unet_cfg, policy=policy,

@@ -1,0 +1,67 @@
+"""Sharded sampling on the 8-device CPU mesh + golden-value regression
+(fixed seed, tiny models — catches silent numerical drift; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceposegenerator_tpu.core.mesh import make_mesh
+from faceposegenerator_tpu.core.precision import PARITY_POLICY
+from faceposegenerator_tpu.diffusion import make_ddpm
+from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample, sample_data_parallel
+from faceposegenerator_tpu.models import clip_text, unet2d, vae
+
+
+TINY = SamplerModels(
+    text_cfg=clip_text.CLIPTextConfig(
+        vocab_size=128, hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96
+    ),
+    unet_cfg=unet2d.UNetConfig(
+        block_out_channels=(32, 64, 64, 64), cross_attention_dim=48, head_dim=8
+    ),
+    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32, 32, 32)),
+)
+
+
+def _params():
+    return {
+        "text_encoder": clip_text.init(jax.random.key(0), TINY.text_cfg),
+        "unet": unet2d.init(jax.random.key(1), TINY.unet_cfg),
+        "vae": vae.init(jax.random.key(2), TINY.vae_cfg),
+    }
+
+
+def test_data_parallel_sampling_matches_single_device():
+    params = _params()
+    sched = make_ddpm(num_inference_steps=2)
+    ids = jax.random.randint(jax.random.key(3), (8, 77), 0, 128)
+    neg = jnp.zeros_like(ids)
+    single = sample(
+        params, sched, ids, neg, jax.random.key(5),
+        models=TINY, height=64, width=64, policy=PARITY_POLICY,
+    )
+    mesh = make_mesh()
+    sharded = sample_data_parallel(
+        mesh, params, sched, ids, neg, jax.random.key(5),
+        models=TINY, height=64, width=64, policy=PARITY_POLICY,
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=5e-4)
+
+
+def test_sampler_golden_statistics():
+    """Fixed-seed sampler output statistics — a drift tripwire. If this
+    fails after an intentional numerical change, re-derive the constants
+    with the printed values."""
+    params = _params()
+    sched = make_ddpm(num_inference_steps=3)
+    ids = jnp.asarray(np.arange(77)[None] % 128, jnp.int32)
+    img = sample(
+        params, sched, ids, jnp.zeros_like(ids), jax.random.key(42),
+        models=TINY, height=64, width=64, policy=PARITY_POLICY,
+    )
+    mean = float(img.mean())
+    std = float(img.std())
+    # golden values captured at framework v0.1 (fp32 CPU, seed 42)
+    assert img.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(mean, 0.4905956, atol=2e-3)
+    np.testing.assert_allclose(std, 0.1442591, atol=2e-3)
