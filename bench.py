@@ -146,13 +146,14 @@ def main():
             policy=policy, lora=lora,
         )
 
-    # warmup/compile
-    run(jax.random.key(0)).block_until_ready()
+    # warmup/compile — fetch to host: on the axon platform block_until_ready
+    # can return before execution completes, so timing uses device_get
+    float(jnp.sum(run(jax.random.key(0))))
 
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        run(jax.random.key(i + 1)).block_until_ready()
+        float(jnp.sum(run(jax.random.key(i + 1))))
         times.append(time.perf_counter() - t0)
 
     best = min(times)
