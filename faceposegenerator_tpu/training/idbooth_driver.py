@@ -164,6 +164,9 @@ def run_identity(
     throughput = ThroughputLogger(
         frequency=50, total_steps=total_steps, logger=logger
     )
+    from ..core.trackers import Tracker
+
+    tracker = Tracker(os.path.join(output_dir, "logs"))
     history: List[Dict] = []
 
     for epoch in range(first_epoch, cfg.num_train_epochs):
@@ -181,6 +184,7 @@ def run_identity(
         epoch_stats = {k: m.avg for k, m in meters.items() if m.count}
         epoch_stats["epoch"] = epoch
         history.append(epoch_stats)
+        tracker.log_scalars(global_step, {k: v for k, v in epoch_stats.items() if k != "epoch"})
         logger.info(f"epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in epoch_stats.items() if k != "epoch"))
 
         last = epoch == cfg.num_train_epochs - 1
@@ -200,6 +204,7 @@ def run_identity(
                 save_image_grid(
                     imgs, os.path.join(output_dir, "validation", f"epoch_{epoch}.png")
                 )
+                tracker.log_images(global_step, "validation", imgs)
             except Exception as e:  # validation must never kill training
                 logger.warning(f"validation sampling failed: {e}")
 
@@ -210,6 +215,7 @@ def run_identity(
         {"unet": trainable["unet_lora"], "text_encoder": trainable.get("text_lora")},
         os.path.join(output_dir, "pytorch_lora_weights.safetensors"),
     )
+    tracker.close()
     return trainable, history
 
 
