@@ -81,6 +81,8 @@ def analyse(
         with open(os.path.join(output_dir, f"{name}_pyeer.json"), "w") as f:
             json.dump(results, f, indent=2)
         write_csv_report(results, os.path.join(output_dir, f"{name}_pyeer.csv"))
+        write_html_report(results, os.path.join(output_dir, f"{name}_pyeer.html"))
+        write_tex_report(results, os.path.join(output_dir, f"{name}_pyeer.tex"))
     return results
 
 
@@ -93,6 +95,48 @@ def write_csv_report(results: Dict, path: str):
         f.write("config," + ",".join(keys) + "\n")
         for cfg_name, stats in results.items():
             f.write(cfg_name + "," + ",".join(f"{stats[k]:.6f}" for k in keys) + "\n")
+
+
+def write_html_report(results: Dict, path: str, title: str = "EER report"):
+    """Minimal pyeer-style HTML report (`pyeer_scripts/report` surface)."""
+    if not results:
+        return
+    keys = sorted(next(iter(results.values())).keys())
+    rows = "".join(
+        "<tr><td>{}</td>{}</tr>".format(
+            name, "".join(f"<td>{stats[k]:.6f}</td>" for k in keys)
+        )
+        for name, stats in results.items()
+    )
+    html = (
+        f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"
+        "<table border='1'><tr><th>config</th>"
+        + "".join(f"<th>{k}</th>" for k in keys)
+        + f"</tr>{rows}</table></body></html>"
+    )
+    with open(path, "w") as f:
+        f.write(html)
+
+
+def write_tex_report(results: Dict, path: str):
+    """LaTeX table writer (the reference's notebook emits mean±std tables)."""
+    if not results:
+        return
+    keys = sorted(next(iter(results.values())).keys())
+    lines = [
+        "\\begin{tabular}{l" + "r" * len(keys) + "}",
+        "config & " + " & ".join(k.replace("_", "\\_") for k in keys) + " \\\\ \\hline",
+    ]
+    for name, stats in results.items():
+        lines.append(
+            name.replace("_", "\\_")
+            + " & "
+            + " & ".join(f"{stats[k]:.4f}" for k in keys)
+            + " \\\\"
+        )
+    lines.append("\\end{tabular}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
 
 
 def analyse_from_embedding_files(
