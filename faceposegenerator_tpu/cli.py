@@ -216,6 +216,9 @@ def cmd_pyeer(argv):
     ap.add_argument("--real_embeds_dir", default=None)
     ap.add_argument("--output", default="pyeer_out")
     ap.add_argument("--name", default="run")
+    ap.add_argument("--min_samples", type=int, default=8)
+    ap.add_argument("--skip_among", type=int, default=18)
+    ap.add_argument("--skip_vs_real", type=int, default=17)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -235,8 +238,16 @@ def cmd_pyeer(argv):
     if args.real_embeds_dir:
         real, rnames = load_dir(args.real_embeds_dir)
     res = analyse_from_embedding_files(
-        synth, snames, real, rnames, output_dir=args.output, name=args.name
+        synth, snames, real, rnames, output_dir=args.output, name=args.name,
+        min_samples=args.min_samples, skip_among=args.skip_among,
+        skip_vs_real=args.skip_vs_real,
     )
+    if not res:
+        print(
+            f"warning: no score pairs produced — every identity may have fewer "
+            f"than --min_samples={args.min_samples} embeddings",
+            file=sys.stderr,
+        )
     print(json.dumps(res, indent=2))
 
 

@@ -55,9 +55,14 @@ def get_eer_stats(gen_scores: Sequence[float], imp_scores: Sequence[float]) -> E
     eer_high = max(fmr[idx], fnmr[idx])
     eer = (fmr[idx] + fnmr[idx]) / 2
 
-    # AUC of the ROC (TAR=1-FNMR vs FMR), trapezoid over decreasing FMR
-    order = np.argsort(fmr)
-    auc = float(np.trapezoid((1.0 - fnmr)[order], fmr[order]))
+    # AUC of the ROC (TAR=1-FNMR vs FMR). Walking thresholds DESCENDING makes
+    # both FMR and TAR monotone nondecreasing — the proper ROC staircase
+    # (sorting by FMR alone breaks tie ordering and under-integrates).
+    # Endpoints (0,·) and (1,1) are covered since thrs spans all scores.
+    desc = np.argsort(-thrs)
+    roc_fmr = np.concatenate([[0.0], fmr[desc], [1.0]])
+    roc_tar = np.concatenate([[0.0], (1.0 - fnmr)[desc], [1.0]])
+    auc = float(np.trapezoid(roc_tar, roc_fmr))
 
     def fnmr_at(fmr_target):
         ok = np.where(fmr <= fmr_target)[0]
