@@ -87,18 +87,28 @@ class DreamBoothDataset:
         return (arr / 255.0 - 0.5) / 0.5  # [-1, 1]
 
     def _load_embed(self, image_name: str) -> np.ndarray:
-        """Per-image embed `<embeds_dir>/<stem>.npy`; falls back to a single
+        """Per-image embed `<embeds_dir>/<stem>.npy` (or the reference's
+        torch `.pt`, `train_ID-Booth.py:271,326`); falls back to a single
         folder-level embed (legacy layout) or zeros when absent."""
         if self.embeds_dir is None:
             return np.zeros((self.embed_dim,), np.float32)
         stem = os.path.splitext(image_name)[0]
-        p = os.path.join(self.embeds_dir, stem + ".npy")
-        if os.path.exists(p):
-            e = np.load(p)
-        else:
-            folder = os.path.join(self.embeds_dir + ".npy")
-            e = np.load(folder) if os.path.exists(folder) else np.zeros((self.embed_dim,), np.float32)
-        return np.asarray(e, np.float32).reshape(-1)
+        for cand in (
+            os.path.join(self.embeds_dir, stem + ".npy"),
+            os.path.join(self.embeds_dir, stem + ".pt"),
+            self.embeds_dir + ".npy",
+            self.embeds_dir + ".pt",
+        ):
+            if os.path.exists(cand):
+                if cand.endswith(".pt"):
+                    import torch
+
+                    e = torch.load(cand, map_location="cpu", weights_only=True)
+                    e = e.float().numpy()
+                else:
+                    e = np.load(cand)
+                return np.asarray(e, np.float32).reshape(-1)
+        return np.zeros((self.embed_dim,), np.float32)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         iname = self.instance_images[index % len(self.instance_images)]
