@@ -136,6 +136,21 @@ def horizontal_flip(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return img[:, ::-1] if rng.random() < 0.5 else img
 
 
+def gaussian_blur(sigma_range=(0.1, 2.0), p: float = 0.5):
+    """Random Gaussian blur — the one MoCo component on the reference's live
+    path (`moco/loader.py` GaussianBlur via `augmentation.py:21`)."""
+
+    def apply(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rng.random() >= p:
+            return img
+        from PIL import Image, ImageFilter
+
+        sigma = rng.uniform(*sigma_range)
+        return _np(_pil(img).filter(ImageFilter.GaussianBlur(radius=sigma)))
+
+    return apply
+
+
 def get_aug_policy(name: str) -> Callable:
     """Dispatcher mirroring `get_conventional_aug_policy`: "hf", "ra_4_16",
     "gan" (hf alias), "hf+ra_4_16"."""
@@ -150,4 +165,20 @@ def get_aug_policy(name: str) -> Callable:
             return ra(horizontal_flip(img, rng), rng)
 
         return combined
+    if name in ("blur", "moco_blur"):
+        blur = gaussian_blur()
+
+        def blur_hf(img, rng):
+            return blur(horizontal_flip(img, rng), rng)
+
+        return blur_hf
+    if name.startswith("faa"):
+        # FastAutoAugment policy tables (`FR_training/utils/FAA_policy.py`,
+        # 2.4k LoC of tuned tuples) are dataset-specific artifacts never
+        # selected by the live configs; load them from the original file if
+        # genuinely needed.
+        raise NotImplementedError(
+            "FAA policies are data artifacts not bundled here; use 'hf', "
+            "'ra_N_M', or 'blur'"
+        )
     raise ValueError(f"unknown augmentation policy {name!r}")
