@@ -186,16 +186,31 @@ def make_train_step(
     return train_step
 
 
+_EMBED_CACHE: dict = {}
+
+
 def make_embed_fn(cfg: FRConfig, params, state, policy: Policy = DEFAULT_POLICY):
     """Inference embed function for the verification callback
-    (`CallBackVerification`, `FR_training/utils/utils_callbacks.py:13`)."""
-    bcfg = backbone_config(cfg)
+    (`CallBackVerification`, `FR_training/utils/utils_callbacks.py:13`).
 
-    @jax.jit
+    Params/state are jit *arguments* (not baked-in constants) and the jitted
+    function is cached per (network, policy) — per-epoch callbacks reuse one
+    compiled program instead of recompiling with each new weight snapshot."""
+    bcfg = backbone_config(cfg)
+    cache_key = (bcfg, policy)
+    if cache_key not in _EMBED_CACHE:
+
+        @jax.jit
+        def embed_impl(params, state, images):
+            emb, _ = iresnet.apply(
+                params["backbone"], state["bn"], images, bcfg, policy=policy, train=False
+            )
+            return emb
+
+        _EMBED_CACHE[cache_key] = embed_impl
+    embed_impl = _EMBED_CACHE[cache_key]
+
     def embed(images):
-        emb, _ = iresnet.apply(
-            params["backbone"], state["bn"], images, bcfg, policy=policy, train=False
-        )
-        return emb
+        return embed_impl(params, state, images)
 
     return embed
