@@ -175,4 +175,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the axon relay occasionally drops mid-run;
+        # one retry keeps the driver's recorded bench alive
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench retry after error:", type(e).__name__, file=sys.stderr)
+        main()

@@ -41,8 +41,13 @@ def train_fr_run(
     seed: int = 0,
     logger=None,
     max_steps_per_epoch: Optional[int] = None,
+    checkpoint_every_epoch: bool = False,
 ) -> Dict:
-    """One FR training run. val_bins: {benchmark: (images, issame)}."""
+    """One FR training run. val_bins: {benchmark: (images, issame)}.
+
+    `checkpoint_every_epoch` saves backbone+header each epoch alongside the
+    best-model file (`CallBackModelCheckpointOld`,
+    `FR_training/utils/utils_callbacks.py:209-239`)."""
     logger = logger or setup_logging(output_dir)
     best_path = os.path.join(output_dir, "best_backbone.npz")
     if os.path.exists(best_path):
@@ -74,6 +79,12 @@ def train_fr_run(
             )
             global_step += 1
             throughput(global_step, cfg.batch_size, {"loss": float(metrics["loss"])})
+
+        if checkpoint_every_epoch:
+            save_pytree(
+                {"params": params, "state": state},
+                os.path.join(output_dir, f"epoch_{epoch}_backbone.npz"),
+            )
 
         # verification callback (rank-0 semantics are implicit single-ctrl)
         epoch_acc = None
@@ -112,17 +123,20 @@ def train_fr_sweep(
     output_root: str,
     val_bins=None,
     augment=None,
+    output_prefix: str = "REC_",
     **kw,
 ):
     """Loop over generator variants (`cfg.models`), one run each, seed = run
-    index (`train_FR.py:68-71`)."""
+    index (`train_FR.py:68-71`). The augmented (real+synth) variant uses
+    `output_prefix="REC_TFD+Synth_"` (`train_FR_Augmented.py`,
+    `test_FR_Augmented.py:33,91`)."""
     results = {}
     for run_idx, model_name in enumerate(cfg.models):
         root = dataset_roots.get(model_name)
         if root is None or not os.path.isdir(root):
             continue
         dataset = FlatDirDataset(root, augment=augment, seed=run_idx)
-        out = os.path.join(output_root, f"REC_{model_name}")
+        out = os.path.join(output_root, f"{output_prefix}{model_name}")
         results[model_name] = train_fr_run(
             cfg, dataset, out, val_bins=val_bins, seed=run_idx, **kw
         )
