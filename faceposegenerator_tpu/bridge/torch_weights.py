@@ -21,7 +21,7 @@ No torch import is required: safetensors files are read with the
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

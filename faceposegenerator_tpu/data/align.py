@@ -10,7 +10,7 @@ device tensors (SURVEY.md §1 L5 → TPU mapping).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

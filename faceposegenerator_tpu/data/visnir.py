@@ -12,7 +12,7 @@ directory). Verification over RGBN bins reuses the standard protocol with a
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

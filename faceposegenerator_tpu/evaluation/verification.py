@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import io
 import pickle
-from typing import Callable, List, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.precision import Policy, DEFAULT_POLICY
-from ..ops.attention import dot_product_attention
 from ..ops.norms import layer_norm
 from ..ops.lora import lora_dense
 

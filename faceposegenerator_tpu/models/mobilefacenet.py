@@ -11,7 +11,7 @@ use-case); training-mode support mirrors iresnet's if needed later.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

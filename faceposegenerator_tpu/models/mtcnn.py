@@ -23,8 +23,7 @@ Architecture (standard MTCNN, Zhang et al. 2016):
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import Callable, Tuple
 
-import jax
-
 from . import iresnet, mobilefacenet, vit_face
 
 

@@ -17,8 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .unet2d import conv2d
-
 
 @dataclasses.dataclass(frozen=True)
 class RepVGGConfig:

@@ -24,7 +24,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Sequence
 
 import jax

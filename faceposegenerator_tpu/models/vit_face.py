@@ -15,7 +15,7 @@ Registry: vit_t/s (dim 256/512, depth 12), vit_b (512, 24), vit_l (768, 24),
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -106,7 +106,7 @@ def _block(p, x, num_heads):
     x = x + attn
     h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"])
     h = h @ p["fc1"]["w"].astype(h.dtype).T + p["fc1"]["b"].astype(h.dtype)
-    h = jax.nn.relu(h)  # reference Mlp uses ReLU6/GELU? vit.py uses nn.ReLU6
+    h = jnp.clip(h, 0.0, 6.0)  # ReLU6 — the reference Mlp act (vit.py:7)
     h = h @ p["fc2"]["w"].astype(h.dtype).T + p["fc2"]["b"].astype(h.dtype)
     return x + h
 

@@ -21,10 +21,7 @@ out + MLP out) — collectives ride ICI. Combine with batch sharding over
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import MODEL_AXIS
