@@ -62,6 +62,8 @@ def prdc(
 ) -> Dict[str, float]:
     real = np.asarray(real_features, np.float32)
     fake = np.asarray(fake_features, np.float32)
+    # kth-neighbour needs k < n (self occupies rank 0)
+    nearest_k = max(1, min(nearest_k, real.shape[0] - 1, fake.shape[0] - 1))
 
     d_rr = pairwise_distances(real, real)
     d_ff = pairwise_distances(fake, fake)
