@@ -22,16 +22,37 @@ def group_norm(
     eps: float = 1e-6,
     act: Optional[str] = None,
 ) -> jax.Array:
-    """GroupNorm over NHWC (or N...C) with optional fused SiLU activation."""
+    """GroupNorm over NHWC (or N...C) with optional fused SiLU activation.
+
+    TPU layout note: statistics are computed as per-channel spatial
+    reductions in the native (N, HW, C) layout (C rides the 128-lane dim),
+    then folded across each group's channels on the tiny (N, G, C/G) array —
+    mathematically identical to the naive grouped reshape but avoids big
+    reductions over a lane-misaligned (…, C/G) trailing dim (C/G is 10–40
+    for SD's GN32). The normalize/scale/activation stays fully aligned and
+    fuses into the surrounding conv.
+    """
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
     spatial = x.shape[1:-1]
-    xg = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xg.reshape(n, *spatial, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(n, -1, c)
+    # per-channel spatial moments (aligned reduction)
+    ch_mean = jnp.mean(x32, axis=1)  # (n, c)
+    ch_sq = jnp.mean(jnp.square(x32), axis=1)  # (n, c)
+    # fold channels within each group (tiny arrays)
+    gmean = jnp.mean(ch_mean.reshape(n, g, c // g), axis=2)  # (n, g)
+    gsq = jnp.mean(ch_sq.reshape(n, g, c // g), axis=2)
+    gvar = gsq - jnp.square(gmean)
+    # broadcast back to per-channel scale/shift and fold in gamma/beta
+    inv = jax.lax.rsqrt(gvar + eps)  # (n, g)
+    inv_c = jnp.repeat(inv, c // g, axis=1)  # (n, c)
+    mean_c = jnp.repeat(gmean, c // g, axis=1)
+    scale = inv_c * gamma.astype(jnp.float32)[None, :]
+    shift = beta.astype(jnp.float32)[None, :] - mean_c * scale
+    out = x32 * scale[:, None, :] + shift[:, None, :]
+    out = out.reshape(n, *spatial, c)
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
     elif act is not None:
