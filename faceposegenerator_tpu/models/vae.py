@@ -69,19 +69,22 @@ def _attn_init(key, c, dtype):
     }
 
 
-def _attn_apply(p, x):
-    """Single-head full-channel self-attention over spatial tokens."""
+def _attn_apply(p, x, attn_impl: str = "auto"):
+    """Single-head full-channel self-attention over spatial tokens.
+
+    At 512² decode this is 4096 tokens × 512 channels — the O(S²) logits
+    would be a ~1 GB/image fp32 transient; head_dim 512 is lane-aligned so
+    the Pallas flash path applies (`ops.flash_attention`)."""
+    from ..ops.attention import dot_product_attention
+
     b, h, w, c = x.shape
     res = x
     xn = group_norm(x, p["norm"]["g"], p["norm"]["b"], num_groups=32, eps=1e-6)
     t = xn.reshape(b, h * w, c)
-    q = lora_dense(t, p["q"]["w"], p["q"]["b"])
-    k = lora_dense(t, p["k"]["w"], p["k"]["b"])
-    v = lora_dense(t, p["v"]["w"], p["v"]["b"])
-    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits.astype(jnp.float32) * (c**-0.5)
-    a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bqk,bkc->bqc", a, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    q = lora_dense(t, p["q"]["w"], p["q"]["b"]).reshape(b, h * w, 1, c)
+    k = lora_dense(t, p["k"]["w"], p["k"]["b"]).reshape(b, h * w, 1, c)
+    v = lora_dense(t, p["v"]["w"], p["v"]["b"]).reshape(b, h * w, 1, c)
+    o = dot_product_attention(q, k, v, impl=attn_impl).reshape(b, h * w, c)
     o = lora_dense(o, p["out"]["w"], p["out"]["b"])
     return res + o.reshape(b, h, w, c)
 
