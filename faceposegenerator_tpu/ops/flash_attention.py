@@ -34,8 +34,10 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# tuned for the SD2.1 self-attention shapes (S=4096, D=64) on v5e: larger
+# KV blocks amortize the per-block online-softmax bookkeeping
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def flash_supported(q, k, v) -> bool:
