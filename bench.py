@@ -139,11 +139,13 @@ def main():
     ids = jax.random.randint(jax.random.key(4), (batch, 77), 0, 49408)
     neg = jnp.zeros_like(ids)
 
+    decode_chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "0")) or None
+
     def run(key):
         return sample(
             params, sched, ids, neg, key,
             models=models, guidance_scale=5.0, height=512, width=512,
-            policy=policy, lora=lora,
+            policy=policy, lora=lora, decode_chunk=decode_chunk,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready

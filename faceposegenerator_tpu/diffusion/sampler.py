@@ -39,7 +39,10 @@ class SamplerModels:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("models", "guidance_scale", "height", "width", "policy", "scheduler"),
+    static_argnames=(
+        "models", "guidance_scale", "height", "width", "policy", "scheduler",
+        "decode_chunk",
+    ),
 )
 def sample(
     params: dict,
@@ -57,6 +60,7 @@ def sample(
     lora: Optional[dict] = None,
     lora_scale: float | jax.Array = 1.0,
     noise_override: Optional[jax.Array] = None,
+    decode_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Generate images.
 
@@ -134,7 +138,17 @@ def sample(
         raise ValueError(scheduler)
 
     # --- decode ------------------------------------------------------------
-    images = vae.decode(params["vae"], x, models.vae_cfg, policy=policy)
+    # the decoder's 128-ch full-resolution activations dominate peak memory
+    # at large batch; `decode_chunk` serializes the (once-per-run) decode so
+    # the 30-step UNet loop can use bigger batches
+    if decode_chunk is not None and B > decode_chunk and B % decode_chunk == 0:
+        chunks = x.reshape(B // decode_chunk, decode_chunk, h, w, 4)
+        images = jax.lax.map(
+            lambda z: vae.decode(params["vae"], z, models.vae_cfg, policy=policy),
+            chunks,
+        ).reshape(B, height, width, 3)
+    else:
+        images = vae.decode(params["vae"], x, models.vae_cfg, policy=policy)
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
 
 
