@@ -47,8 +47,7 @@ def _conv_bn_apply(p, s, x, stride=1, padding=1, eps=1e-5):
     x = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype), (stride, stride), pad,
         dimension_numbers=dn, feature_group_count=p["groups"],
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     x = batch_norm_inference(x, p["bn"]["g"], p["bn"]["b"], s["mean"], s["var"], eps)
     if "prelu" in p:
         a = p["prelu"].astype(x.dtype)

@@ -82,8 +82,7 @@ def apply(params, x: jax.Array, cfg: RepVGGConfig = REPVGG_B1G2) -> jax.Array:
             padding=((1, 1), (1, 1)),
             dimension_numbers=dn,
             feature_group_count=layer["groups"],
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         x = jax.nn.relu(x + layer["b"].astype(x.dtype))
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 

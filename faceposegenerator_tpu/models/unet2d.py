@@ -66,14 +66,16 @@ def conv2d(x, p, stride=1, padding=1):
     """NHWC conv with HWIO weights + bias."""
     dn = jax.lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
+    # NOTE: no preferred_element_type here — bf16 TPU convs accumulate in
+    # fp32 on the MXU natively, and upcast-then-downcast breaks the conv
+    # transpose (gradient) rule's dtype agreement under bf16 training
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     return y + p["b"].astype(x.dtype)
 
 

@@ -126,8 +126,8 @@ def apply(
     dn = jax.lax.conv_dimension_numbers(x.shape, pe["w"].shape, ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
         x, pe["w"].astype(x.dtype), (cfg.patch_size, cfg.patch_size), "VALID",
-        dimension_numbers=dn, preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        dimension_numbers=dn,
+    )
     b = x.shape[0]
     x = x.reshape(b, -1, cfg.embed_dim) + pe["b"].astype(x.dtype)
     x = x + params["pos_embed"][None].astype(x.dtype)
