@@ -187,6 +187,10 @@ def make_loss_fn(
             lora=trainable["unet_lora"], attn_impl=models.attn_impl,
             remat=cfg.gradient_checkpointing,
         )
+        if pred.shape[-1] == 2 * latents.shape[-1]:
+            # variance-predicting UNets: train only on the mean half
+            # (`train_ID-Booth.py:1051-1052`; inert for SD2.1's 4-ch output)
+            pred = pred[..., : latents.shape[-1]]
 
         target = noise  # epsilon prediction (SD2.1-base)
 
