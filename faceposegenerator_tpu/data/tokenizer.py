@@ -3,8 +3,14 @@
 The reference tokenizes prompts with the SD2.1 `AutoTokenizer` padded to 77
 (`tokenize_prompt`, `train_ID-Booth.py:457-471`). This is the same algorithm
 (lowercase + whitespace cleanup, byte→unicode table, BPE merges with `</w>`
-end-of-word markers, bos/eos wrapping, eos-padding to `model_max_length`),
+end-of-word markers, bos/eos wrapping, padding to `model_max_length`),
 loading `vocab.json` + `merges.txt` from a local tokenizer directory.
+
+Padding token: the SD2.x tokenizer sets `pad_token: "!"` (id 0) in
+`tokenizer_config.json`, while SD1.x CLIP pads with EOS. The reference runs
+the text encoder without an attention mask, so the pad id changes every
+hidden state after EOS — `from_pretrained` reads the configured pad token so
+conditioning matches the reference for the stated SD2.1 operating point.
 """
 
 from __future__ import annotations
@@ -62,6 +68,7 @@ class CLIPTokenizer:
         vocab: Dict[str, int],
         merges: List[Tuple[str, str]],
         model_max_length: int = 77,
+        pad_token: str | None = None,
     ):
         self.vocab = vocab
         self.decoder = {v: k for k, v in vocab.items()}
@@ -70,6 +77,8 @@ class CLIPTokenizer:
         self.model_max_length = model_max_length
         self.bos_token_id = vocab["<|startoftext|>"]
         self.eos_token_id = vocab["<|endoftext|>"]
+        # SD1.x CLIP pads with EOS; SD2.x sets pad_token "!" (id 0)
+        self.pad_token_id = vocab[pad_token] if pad_token else self.eos_token_id
         self.cache: Dict[str, str] = {}
 
     @classmethod
@@ -84,7 +93,16 @@ class CLIPTokenizer:
                 continue
             a, b = line.split()
             merges.append((a, b))
-        return cls(vocab, merges, model_max_length)
+        pad_token = None
+        cfg_path = os.path.join(tokenizer_dir, "tokenizer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            pt = cfg.get("pad_token")
+            if isinstance(pt, dict):  # serialized AddedToken form
+                pt = pt.get("content")
+            pad_token = pt
+        return cls(vocab, merges, model_max_length, pad_token=pad_token)
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -130,12 +148,13 @@ class CLIPTokenizer:
         return ids
 
     def __call__(self, texts, padding: str = "max_length", truncation: bool = True) -> np.ndarray:
-        """Tokenize to (B, model_max_length) int32 with bos/eos + eos-padding
-        (diffusers `tokenize_prompt` contract)."""
+        """Tokenize to (B, model_max_length) int32 with bos/eos wrapping and
+        pad-token padding (diffusers `tokenize_prompt` contract; pad id per
+        the loaded tokenizer_config — EOS for SD1.x, "!" for SD2.x)."""
         if isinstance(texts, str):
             texts = [texts]
         L = self.model_max_length
-        out = np.full((len(texts), L), self.eos_token_id, np.int32)
+        out = np.full((len(texts), L), self.pad_token_id, np.int32)
         for i, t in enumerate(texts):
             ids = [self.bos_token_id] + self.encode(t)[: L - 2] + [self.eos_token_id]
             out[i, : len(ids)] = ids

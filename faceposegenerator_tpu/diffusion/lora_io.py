@@ -69,8 +69,12 @@ def _normalize_keys(sd: Dict[str, np.ndarray]) -> Dict[str, Tuple[str, np.ndarra
             ab = "A" if m.group(3) == "down" else "B"
             out[f"{m.group(1)}.{proj}.{ab}"] = np.asarray(v)
             continue
-        # alpha tensors and anything else are ignored (alpha == rank in the
-        # reference: rank=alpha=4, scale 1 — configs/config_train_SD21.py:48)
+        m = re.match(r"(.+)\.alpha$", k)
+        if m:
+            # kohya/diffusers network_alpha scalars: effective scale is
+            # alpha/rank (peft `scaling`); folded into B at load time
+            out[f"{m.group(1)}.alpha"] = np.asarray(v)
+            continue
     return out
 
 
@@ -84,17 +88,33 @@ def lora_from_state_dict(
     """Build {"unet": ..., "text_encoder": ...} LoRA pytrees from a
     diffusers-format LoRA state dict."""
     norm = _normalize_keys(sd)
+    alphas = {k[: -len(".alpha")]: float(v) for k, v in norm.items() if k.endswith(".alpha")}
     if rank is None:
         ranks = {v.shape[0] for k, v in norm.items() if k.endswith(".A")}
         if not ranks:
             raise ValueError("no LoRA tensors found in state dict")
-        rank = max(ranks)
+        if len(ranks) > 1:
+            raise ValueError(
+                f"mixed LoRA ranks {sorted(ranks)} in checkpoint — the fixed-"
+                "rank no-recompile pytree needs a single rank; pass rank= "
+                "explicitly to pad to a common rank"
+            )
+        rank = ranks.pop()
     unet_lora, text_lora = _zeros_like_lora(unet_params, text_params, rank, dtype)
 
     unmatched = []
     for key, tensor in norm.items():
         path, ab = key.rsplit(".", 1)
+        if ab == "alpha":
+            continue  # consumed below via `alphas`
         leaf = "a" if ab == "A" else "b"
+        if leaf == "b":
+            # fold the peft/diffusers network_alpha scale (alpha/rank) into B
+            # so runtime lora_dense (which assumes scale 1 ≡ alpha == rank)
+            # reproduces the reference's effective weights
+            alpha = alphas.get(path)
+            if alpha is not None and alpha != tensor.shape[-1]:
+                tensor = tensor * (alpha / tensor.shape[-1])
         if path.startswith("unet."):
             path = path[len("unet.") :]
         if path.startswith("text_encoder."):

@@ -73,6 +73,35 @@ def inference_timesteps(cfg: SchedulerConfig, num_inference_steps: int) -> np.nd
     return ts
 
 
+def dpm_inference_timesteps(
+    cfg: SchedulerConfig, num_inference_steps: int, spacing: str
+) -> np.ndarray:
+    """Descending timesteps per diffusers `DPMSolverMultistepScheduler.
+    set_timesteps`: the linspace/leading spacings sample S+1 points and drop
+    the last — NOT the DDPM `T//S` formula (`inference_timesteps`)."""
+    T = cfg.num_train_timesteps
+    if spacing == "linspace":
+        ts = (
+            np.linspace(0, T - 1, num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .astype(np.int64)
+        )
+    elif spacing == "leading":
+        step_ratio = T // (num_inference_steps + 1)
+        ts = (
+            (np.arange(0, num_inference_steps + 1) * step_ratio)
+            .round()[::-1][:-1]
+            .astype(np.int64)
+        )
+        ts = ts + cfg.steps_offset
+    elif spacing == "trailing":
+        step_ratio = T / num_inference_steps
+        ts = np.arange(T, 0, -step_ratio).round().astype(np.int64) - 1
+    else:
+        raise ValueError(spacing)
+    return ts
+
+
 # ---------------------------------------------------------------------------
 # DDPM
 # ---------------------------------------------------------------------------
@@ -290,10 +319,17 @@ def make_dpm_solver(
     cfg: SchedulerConfig = SchedulerConfig(),
     num_inference_steps: int = 30,
     dtype=jnp.float32,
+    timestep_spacing: Optional[str] = None,
 ) -> DPMSolverSchedule:
+    """`timestep_spacing=None` resolves to "linspace" — the
+    `DPMSolverMultistepScheduler` class default, which is what the
+    reference's validation run gets (`train_ID-Booth.py:147` builds the DPM
+    scheduler `from_config` of the SD2.1 scheduler config, which carries no
+    timestep_spacing key). Pass a spacing explicitly to honor a checkpoint
+    config that does define one."""
     betas = _make_betas(cfg)
     acp = np.cumprod(1.0 - betas)
-    ts = inference_timesteps(cfg, num_inference_steps)
+    ts = dpm_inference_timesteps(cfg, num_inference_steps, timestep_spacing or "linspace")
     # σ/α/λ at each visited timestep plus the terminal point (α=1, σ=0) so
     # the final update lands exactly on the data prediction.
     acp_path = np.concatenate([acp[ts], [1.0]])

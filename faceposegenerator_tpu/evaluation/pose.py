@@ -26,14 +26,19 @@ from ..models import repvgg
 
 def rotation_from_ortho6d(poses: jax.Array) -> jax.Array:
     """(B, 6) continuous rotation representation -> (B, 3, 3) via
-    Gram-Schmidt (Zhou et al., the 6DRepNet parameterisation)."""
+    Gram-Schmidt (Zhou et al., the 6DRepNet parameterisation).
+
+    Basis vectors are stacked as COLUMNS, matching 6DRepNet's
+    `compute_rotation_matrix_from_ortho6d` (`torch.cat((x, y, z), 2)`), so
+    `euler_from_rotation` reads the same pitch/yaw/roll a bridged real
+    checkpoint would produce (sixdrepnet utils semantics)."""
     a1, a2 = poses[:, :3], poses[:, 3:]
     b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=1, keepdims=True), 1e-8)
     proj = jnp.sum(b1 * a2, axis=1, keepdims=True) * b1
     b2 = a2 - proj
     b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=1, keepdims=True), 1e-8)
     b3 = jnp.cross(b1, b2)
-    return jnp.stack([b1, b2, b3], axis=1)  # rows
+    return jnp.stack([b1, b2, b3], axis=-1)  # columns
 
 
 def euler_from_rotation(r: jax.Array) -> jax.Array:

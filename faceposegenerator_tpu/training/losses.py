@@ -68,11 +68,14 @@ def elastic_cosface_logits(
     cos = _cosine(embeddings, kernel)
     margin = m + std * jax.random.normal(key, labels.shape)
     if plus:
-        # hardest samples (largest target cosine) get the smallest margins
+        # reference scatter semantics (ElasticFace `ElasticCosFace.forward`,
+        # FR_training/utils/losses.py:120-127): sample j receives
+        # sorted_margin[order[j]] where order = argsort of target cosines
+        # descending — index the ascending-sorted margins BY the argsort
+        # (NOT the inverse rank mapping).
         target_cos = jnp.take_along_axis(cos, jnp.maximum(labels, 0)[:, None], 1)[:, 0]
-        order = jnp.argsort(-target_cos)  # descending hardness rank
-        sorted_margin = jnp.sort(margin)
-        margin = jnp.zeros_like(margin).at[order].set(sorted_margin)
+        order = jnp.argsort(-target_cos)  # descending target-cosine argsort
+        margin = jnp.sort(margin)[order]
     return (cos - _one_hot_margin(cos, labels, margin)) * s
 
 

@@ -241,3 +241,39 @@ def test_lora_from_partial_state_dict_zero_fills():
     # everything else is zero → identity
     other = lora["unet"]["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["q"]
     np.testing.assert_allclose(np.asarray(other["b"]), 0.0)
+
+
+def test_lora_alpha_scaling_and_mixed_rank_guard():
+    """network_alpha != rank must fold alpha/rank into B (peft applies
+    alpha/rank as the adapter scale; silently assuming alpha == rank loads
+    wrong effective weights). Mixed ranks raise instead of max()-guessing."""
+    import pytest
+
+    params = unet2d.init(jax.random.key(0), TINY_UNET)
+    base = "unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_q"
+    sd = {
+        f"{base}.lora_A.weight": np.ones((4, 96), np.float32),
+        f"{base}.lora_B.weight": np.full((96, 4), 2.0, np.float32),
+        f"{base}.alpha": np.asarray(2.0, np.float32),  # alpha 2, rank 4 → scale 0.5
+    }
+    lora = lora_from_state_dict(sd, params)
+    target = lora["unet"]["mid_block"]["attentions"][0]["blocks"][0]["attn1"]["q"]
+    np.testing.assert_allclose(np.asarray(target["b"]), 1.0)  # 2.0 * (2/4)
+    np.testing.assert_allclose(np.asarray(target["a"]), 1.0)  # A untouched
+
+    # alpha == rank → no rescale
+    sd[f"{base}.alpha"] = np.asarray(4.0, np.float32)
+    lora = lora_from_state_dict(sd, params)
+    target = lora["unet"]["mid_block"]["attentions"][0]["blocks"][0]["attn1"]["q"]
+    np.testing.assert_allclose(np.asarray(target["b"]), 2.0)
+
+    # mixed ranks: refuse rather than silently taking max
+    base2 = "unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_k"
+    sd2 = {
+        f"{base}.lora_A.weight": np.ones((4, 96), np.float32),
+        f"{base}.lora_B.weight": np.ones((96, 4), np.float32),
+        f"{base2}.lora_A.weight": np.ones((8, 96), np.float32),
+        f"{base2}.lora_B.weight": np.ones((96, 8), np.float32),
+    }
+    with pytest.raises(ValueError, match="mixed LoRA ranks"):
+        lora_from_state_dict(sd2, params)

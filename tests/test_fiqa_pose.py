@@ -57,6 +57,32 @@ def test_rotation_from_ortho6d_is_rotation():
         assert np.linalg.det(m) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_rotation_from_ortho6d_reference_convention():
+    """Fixed-vector oracle against 6DRepNet's torch convention:
+    x = norm(a1); z = norm(x × a2); y = z × x; R = cat((x, y, z), dim=2)
+    — the basis vectors are COLUMNS of R. A transposed implementation
+    produces wrong pitch/yaw/roll for any bridged real checkpoint."""
+    sixd = np.array(
+        [
+            [1.0, 0.0, 0.0, 0.0, 1.0, 0.0],  # identity basis
+            [2.0, 1.0, 0.0, -0.5, 2.0, 1.0],
+            [0.3, -1.2, 0.7, 1.1, 0.4, -0.9],
+        ],
+        np.float32,
+    )
+
+    def torch_convention(p):
+        x = p[:3] / np.linalg.norm(p[:3])
+        z = np.cross(x, p[3:])
+        z = z / np.linalg.norm(z)
+        y = np.cross(z, x)
+        return np.stack([x, y, z], axis=1)  # columns
+
+    expected = np.stack([torch_convention(p) for p in sixd])
+    got = np.asarray(pose.rotation_from_ortho6d(jnp.asarray(sixd)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
 def test_euler_roundtrip():
     """Construct R from known Euler angles, recover them."""
 

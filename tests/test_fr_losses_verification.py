@@ -96,6 +96,43 @@ def test_elastic_cosface_runs():
     assert np.isfinite(np.asarray(out_plus)).all()
 
 
+def test_elastic_cosface_plus_reference_scatter_semantics():
+    """ElasticCosFace plus=True must replicate the reference scatter
+    (`FR_training/utils/losses.py:113-118`): sample j receives
+    sorted_margin[idicate_cosie[j]] where idicate_cosie = argsort of target
+    cosines descending — NOT the inverse (monotone rank) mapping."""
+    rng = np.random.default_rng(7)
+    emb = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((64, 10)) * 0.01, jnp.float32)
+    labels_np = rng.integers(0, 10, 8)
+    labels = jnp.asarray(labels_np)
+    key = jax.random.key(11)
+    s, m, std = 64.0, 0.35, 0.0125
+
+    got = np.asarray(
+        jlosses.elastic_cosface_logits(kernel, emb, labels, key, s=s, m=m, std=std, plus=True)
+    )
+
+    # numpy oracle with the SAME jax margin draw, applying the reference
+    # indexing literally
+    margin = np.asarray(m + std * jax.random.normal(key, labels.shape))
+    embn = np.asarray(emb) / np.linalg.norm(np.asarray(emb), axis=1, keepdims=True)
+    kn = np.asarray(kernel) / np.linalg.norm(np.asarray(kernel), axis=0, keepdims=True)
+    cos = np.clip(embn @ kn, -1 + 1e-7, 1 - 1e-7)
+    target = cos[np.arange(8), labels_np]
+    idicate_cosie = np.argsort(-target)
+    margin_applied = np.sort(margin)[idicate_cosie]
+    expected = cos.copy()
+    expected[np.arange(8), labels_np] -= margin_applied
+    expected *= s
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    # the permutation matters: inverse mapping would differ for this seed
+    inv = np.zeros(8)
+    inv[idicate_cosie] = np.sort(margin)
+    assert not np.allclose(inv, margin_applied)
+
+
 def _synthetic_pairs(n_pairs=120, d=32, noise=0.05, seed=0):
     """Interleaved pair embeddings: same-pairs share a direction."""
     rng = np.random.default_rng(seed)

@@ -160,3 +160,36 @@ def test_schedule_is_jit_static():
     f(jnp.int32(0), x)
     f(jnp.int32(7), x)
     assert len(traces) == 1
+
+
+def test_dpm_timesteps_match_diffusers_set_timesteps():
+    """DPMSolverMultistepScheduler.set_timesteps samples S+1 points and drops
+    the last — different from the DDPM T//S 'leading' formula. Oracle values
+    computed from the diffusers formulas (see dpm_inference_timesteps)."""
+    from faceposegenerator_tpu.diffusion.schedulers import (
+        SchedulerConfig,
+        dpm_inference_timesteps,
+    )
+    import numpy as np
+
+    cfg = SchedulerConfig()  # T=1000, steps_offset=1
+
+    # linspace (the class default → what the reference's validation uses)
+    got = dpm_inference_timesteps(cfg, 4, "linspace")
+    exp = np.linspace(0, 999, 5).round()[::-1][:-1].astype(np.int64)
+    np.testing.assert_array_equal(got, exp)
+    assert got[0] == 999
+
+    # leading: T // (S+1), + steps_offset
+    got = dpm_inference_timesteps(cfg, 4, "leading")
+    np.testing.assert_array_equal(got, np.array([800, 600, 400, 200]) + 1)
+
+    # trailing
+    got = dpm_inference_timesteps(cfg, 4, "trailing")
+    np.testing.assert_array_equal(got, np.array([999, 749, 499, 249]))
+
+    # make_dpm_solver default resolves to linspace
+    sched = make_dpm_solver(num_inference_steps=4)
+    np.testing.assert_array_equal(
+        np.asarray(sched.timesteps), np.linspace(0, 999, 5).round()[::-1][:-1]
+    )

@@ -36,7 +36,7 @@ def test_tokenizer_merge_and_padding():
     assert ids[0, 0] == 0  # bos
     assert ids[0, 1] == 100  # merged "ab</w>"
     assert ids[0, 2] == 1  # eos
-    assert (ids[0, 3:] == 1).all()  # eos padding
+    assert (ids[0, 3:] == 1).all()  # eos padding (SD1.x default, no pad_token)
 
     ids2 = tok("ba")
     # no merge for "ba": b then a</w>
@@ -51,6 +51,40 @@ def test_tokenizer_cleanup_and_batching():
     assert batch[0, 1] == 100
     assert batch[1, 1] == tok.vocab["a</w>"]
     assert batch[1, 2] == tok.vocab["b</w>"]
+
+
+def test_tokenizer_sd2_pad_token(tmp_path):
+    """SD2.x tokenizer_config.json sets pad_token '!' (id 0); the reference
+    runs CLIP without an attention mask, so padding must use that id — not
+    EOS — for conditioning parity (sd21 tokenizer_config.json semantics)."""
+    import json
+
+    vocab = {"<|startoftext|>": 49406, "<|endoftext|>": 49407, "!": 0}
+    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        vocab[c] = 2 + 2 * i
+        vocab[c + "</w>"] = 3 + 2 * i
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    (tmp_path / "tokenizer_config.json").write_text(
+        json.dumps({"pad_token": "!", "model_max_length": 77})
+    )
+    tok = CLIPTokenizer.from_pretrained(str(tmp_path), model_max_length=8)
+    ids = tok("ab")
+    assert ids[0, 0] == 49406  # bos
+    assert ids[0, 3] == 49407  # eos after a, b
+    assert (ids[0, 4:] == 0).all()  # '!' padding, not eos
+
+    # AddedToken dict form also parses
+    (tmp_path / "tokenizer_config.json").write_text(
+        json.dumps({"pad_token": {"content": "!", "lstrip": False}})
+    )
+    tok2 = CLIPTokenizer.from_pretrained(str(tmp_path), model_max_length=8)
+    assert tok2.pad_token_id == 0
+
+    # no tokenizer_config.json → SD1.x EOS padding
+    (tmp_path / "tokenizer_config.json").unlink()
+    tok3 = CLIPTokenizer.from_pretrained(str(tmp_path), model_max_length=8)
+    assert tok3.pad_token_id == tok3.eos_token_id
 
 
 def test_tokenizer_truncation():
