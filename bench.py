@@ -104,6 +104,42 @@ def bench_embed(batch: int, repeats: int):
     }
 
 
+def apply_ablation(name: str):
+    """Time-attribution ablations, expressed as monkeypatched variants of the
+    known-good bench program (on-TPU profiling is unavailable on axon — see
+    .claude/skills/verify/SKILL.md). Each variant removes ONE component while
+    keeping shapes, dtype flow, and data dependence intact:
+      no_attn — attention core (QKᵀ·softmax·V) → identity on q
+      no_xf   — whole transformer blocks (attn + proj + GEGLU) → identity
+      no_gn   — GroupNorm statistics → affine(+silu) only
+      no_vae  — VAE decode → mean-dependent broadcast (keeps the loop live)
+    """
+    import jax.nn
+    from faceposegenerator_tpu.models import unet2d, vae
+
+    if name == "no_attn":
+        def fake_attn(q, k, v, **kw):
+            return q
+        unet2d.dot_product_attention = fake_attn
+    elif name == "no_xf":
+        def fake_transformer(p, x, ctx, cfg, **kw):
+            return x
+        unet2d._transformer_apply = fake_transformer
+    elif name == "no_gn":
+        def fake_gn(x, gamma, beta, num_groups=32, eps=1e-5, act=None):
+            out = x * gamma.astype(x.dtype) + beta.astype(x.dtype)
+            return out * jax.nn.sigmoid(out) if act == "silu" else out
+        unet2d.group_norm = fake_gn
+    elif name == "no_vae":
+        real_decode = vae.decode
+        def fake_decode(params, z, cfg, policy=None, **kw):
+            b, h, w, _ = z.shape
+            return jnp.broadcast_to(jnp.mean(z), (b, h * 8, w * 8, 3))
+        vae.decode = fake_decode
+    else:
+        raise ValueError(f"unknown ablation {name!r}")
+
+
 def main():
     from faceposegenerator_tpu.core.precision import Policy
     from faceposegenerator_tpu.diffusion import make_ddpm
@@ -122,6 +158,10 @@ def main():
     if kind == "embed":
         print(json.dumps(bench_embed(int(os.environ.get("BENCH_BATCH", "256")), repeats)))
         return
+
+    ablate = os.environ.get("BENCH_ABLATE", "")
+    if ablate:
+        apply_ablation(ablate)
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     models = SamplerModels(attn_impl=attn)
@@ -161,8 +201,9 @@ def main():
     best = min(times)
     ips = batch / best
     p50_latency = best / batch
+    tag = f" ABLATE={ablate}" if ablate else ""
     result = {
-        "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}",
+        "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),
         "unit": "img/s",
         "vs_baseline": round(ips / 30.0, 3),

@@ -204,7 +204,17 @@ def compute_scores(
             scores["kd_value"] = mean
             scores["kd_variance"] = std
         elif m == "prdc":
-            scores.update(prdc(reps_real, reps_gen, nearest_k=nearest_k, realism=True))
+            # realism only when requested, like the reference
+            # (`__main__.py:171-180`) — it is per-sample (aligned with file
+            # order), not an aggregate, so it is opt-in
+            want_realism = "realism" in metrics
+            out = prdc(reps_real, reps_gen, nearest_k=nearest_k, realism=want_realism)
+            if want_realism:
+                out["realism"] = np.asarray(out["realism"]).tolist()
+            scores.update(out)
+        elif m == "realism":
+            if "prdc" not in metrics:
+                raise ValueError("metric 'realism' requires 'prdc'")
         elif m == "vendi":
             scores["vendi"] = vendi_score(reps_gen)
             if labels_gen is not None and len(set(labels_gen.tolist())) > 1:

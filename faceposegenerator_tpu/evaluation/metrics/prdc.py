@@ -79,9 +79,10 @@ def prdc(
 
     out = {"precision": precision, "recall": recall, "density": density, "coverage": coverage}
     if realism:
-        # per-fake max over real of r_real/d (median-filtered radii, as in
-        # the improved-PR paper / reference prdc realism variant)
+        # per-fake max over real of r_real/d with median-filtered radii —
+        # returns the PER-SAMPLE vector like the reference
+        # (`dgm_eval/metrics/prdc.py:104-110`), not an aggregate
         mask = r_real < np.median(r_real)
         ratios = r_real[mask, None] / np.maximum(d_rf[mask, :], 1e-12)
-        out["realism"] = float(np.median(ratios.max(axis=0)))
+        out["realism"] = ratios.max(axis=0)
     return out

@@ -271,12 +271,12 @@ def init_lora(key: jax.Array, params, rank: int = 4, dtype=jnp.float32, targets=
 # ---------------------------------------------------------------------------
 
 
-def _resblock_apply(p, x, temb, policy: Policy):
-    h = group_norm(x, p["norm1"]["g"], p["norm1"]["b"], num_groups=32, eps=1e-5, act="silu")
+def _resblock_apply(p, x, temb, policy: Policy, num_groups: int = 32):
+    h = group_norm(x, p["norm1"]["g"], p["norm1"]["b"], num_groups=num_groups, eps=1e-5, act="silu")
     h = conv2d(h, p["conv1"])
     t = lora_dense(jax.nn.silu(temb), p["time_emb_proj"]["w"], p["time_emb_proj"]["b"])
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = group_norm(h, p["norm2"]["g"], p["norm2"]["b"], num_groups=32, eps=1e-5, act="silu")
+    h = group_norm(h, p["norm2"]["g"], p["norm2"]["b"], num_groups=num_groups, eps=1e-5, act="silu")
     h = conv2d(h, p["conv2"])
     if "conv_shortcut" in p:
         x = conv2d(x, p["conv_shortcut"], padding=0)
@@ -307,7 +307,7 @@ def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="
 def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, attn_impl="auto", ctx_len=None):
     b, hh, ww, c = x.shape
     res = x
-    h = group_norm(x, p["norm"]["g"], p["norm"]["b"], num_groups=32, eps=1e-6)
+    h = group_norm(x, p["norm"]["g"], p["norm"]["b"], num_groups=cfg.norm_groups, eps=1e-6)
     h = h.reshape(b, hh * ww, c)
     h = lora_dense(h, p["proj_in"]["w"], p["proj_in"]["b"])
     for i, blk in enumerate(p["blocks"]):
@@ -387,7 +387,7 @@ def apply(
 
             @maybe_remat
             def down_unit(x, temb, ctx, rp=rp, block=block, blora=blora, j=j):
-                h = _resblock_apply(rp, x, temb, policy)
+                h = _resblock_apply(rp, x, temb, policy, cfg.norm_groups)
                 if block["attentions"] is not None:
                     h = _transformer_apply(
                         block["attentions"][j], h, ctx, cfg,
@@ -408,13 +408,13 @@ def apply(
 
     @maybe_remat
     def mid_unit(x, temb, ctx):
-        h = _resblock_apply(mid["resnets"][0], x, temb, policy)
+        h = _resblock_apply(mid["resnets"][0], x, temb, policy, cfg.norm_groups)
         h = _transformer_apply(
             mid["attentions"][0], h, ctx, cfg,
             lora=None if mlora is None else mlora["attentions"][0],
             lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
         )
-        return _resblock_apply(mid["resnets"][1], h, temb, policy)
+        return _resblock_apply(mid["resnets"][1], h, temb, policy, cfg.norm_groups)
 
     x = mid_unit(x, temb, ctx)
 
@@ -426,7 +426,7 @@ def apply(
 
             @maybe_remat
             def up_unit(x, skip, temb, ctx, rp=rp, block=block, blora=blora, j=j):
-                h = _resblock_apply(rp, jnp.concatenate([x, skip.astype(x.dtype)], axis=-1), temb, policy)
+                h = _resblock_apply(rp, jnp.concatenate([x, skip.astype(x.dtype)], axis=-1), temb, policy, cfg.norm_groups)
                 if block["attentions"] is not None:
                     h = _transformer_apply(
                         block["attentions"][j], h, ctx, cfg,
@@ -439,6 +439,6 @@ def apply(
         if block["upsample"] is not None:
             x = _upsample(block["upsample"], x)
 
-    x = group_norm(x, params["conv_norm_out"]["g"], params["conv_norm_out"]["b"], num_groups=32, eps=1e-5, act="silu")
+    x = group_norm(x, params["conv_norm_out"]["g"], params["conv_norm_out"]["b"], num_groups=cfg.norm_groups, eps=1e-5, act="silu")
     x = conv2d(x, params["conv_out"])
     return x.astype(jnp.float32)

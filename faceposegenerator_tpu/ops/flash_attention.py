@@ -36,8 +36,12 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e30
 # tuned for the SD2.1 self-attention shapes (S=4096, D=64) on v5e: larger
 # KV blocks amortize the per-block online-softmax bookkeeping
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 1024
+# (FLASH_BLOCK_Q/K env overrides exist for on-TPU block tuning, where
+# profiling is unavailable and each measurement is a full bench run)
+import os as _os
+
+DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "512"))
+DEFAULT_BLOCK_K = int(_os.environ.get("FLASH_BLOCK_K", "1024"))
 
 
 def flash_supported(q, k, v) -> bool:
@@ -148,12 +152,149 @@ def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
     return out
 
 
+def _fwd_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k, d
+):
+    """Two heads packed side-by-side in the 128-lane dim ([qa|qb], d=64 each).
+
+    QKᵀ contracts the full 128 lanes against a block-diagonal K extension
+    ([ka|0; 0|kb] rows), yielding side-by-side logits (bq, 2·bk) with the two
+    heads in disjoint column halves; the online softmax runs per half with
+    the (m, l) state stored columnwise (lanes < d hold head a's statistics).
+    All tile loads are full-lane — the half-lane padding waste of running
+    d=64 heads through the plain kernel disappears."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, 2d) = [qa | qb]
+    k = k_ref[0]  # (bk, 2d) = [ka | kb]
+    v = v_ref[0]
+
+    bk = k.shape[0]
+    lane_lo_k = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) < d  # (bk, 2d)
+    zero = jnp.zeros((), k.dtype)
+    k_ext = jnp.concatenate(
+        [jnp.where(lane_lo_k, k, zero), jnp.where(lane_lo_k, zero, k)], axis=0
+    )  # (2bk, 2d) block-diagonal
+
+    s = jax.lax.dot_general(
+        q, k_ext, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # (bq, 2bk): cols [0,bk) head a, [bk,2bk) head b
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    is_a = col < bk
+    if kv_len is not None:
+        pos = j * block_k + jnp.where(is_a, col, col - bk)
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+
+    m_a = jnp.max(jnp.where(is_a, s, NEG_INF), axis=1, keepdims=True)  # (bq, 1)
+    m_b = jnp.max(jnp.where(is_a, NEG_INF, s), axis=1, keepdims=True)
+    m_prev_a = m_ref[:, :1]
+    m_prev_b = m_ref[:, d : d + 1]
+    m_new_a = jnp.maximum(m_prev_a, m_a)
+    m_new_b = jnp.maximum(m_prev_b, m_b)
+    p = jnp.exp(s - jnp.where(is_a, m_new_a, m_new_b))
+    l_a = jnp.sum(jnp.where(is_a, p, 0.0), axis=1, keepdims=True)
+    l_b = jnp.sum(jnp.where(is_a, 0.0, p), axis=1, keepdims=True)
+
+    lane_lo = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < d  # (bq, 2d)
+    alpha = jnp.where(
+        lane_lo, jnp.exp(m_prev_a - m_new_a), jnp.exp(m_prev_b - m_new_b)
+    )
+
+    v_ext = jnp.concatenate(
+        [jnp.where(lane_lo_k, v, zero), jnp.where(lane_lo_k, zero, v)], axis=0
+    )  # (2bk, 2d) block-diagonal
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.where(lane_lo, m_new_a, m_new_b)
+    l_ref[:] = l_ref[:] * alpha + jnp.where(lane_lo, l_a, l_b)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_3d_packed(q, k, v, scale, kv_len, block_q, block_k, interpret, d):
+    """q: (BH2, Sq, 2d); k, v: (BH2, Skv, 2d) with two d-dim heads packed in
+    the last axis. Returns (BH2, Sq, 2d)."""
+    bh2, sq, d2 = q.shape
+    skv = k.shape[1]
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    pad_q = (-sq) % block_q
+    pad_k = (-skv) % block_k
+    if pad_k and kv_len is None:
+        kv_len = skv
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    sq_p, skv_p = sq + pad_q, skv + pad_k
+
+    grid = (bh2, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(
+        _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_k=block_k, d=d
+    )
+    compiler_params = None
+    if pltpu is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh2, sq_p, d2), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d2), jnp.float32),
+            pltpu.VMEM((block_q, d2), jnp.float32),
+            pltpu.VMEM((block_q, d2), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q, k, v)
+    if pad_q:
+        out = out[:, :sq]
+    return out
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
 )
 def _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret):
     b, sq, h, d = q.shape
     skv = k.shape[1]
+    if d * 2 == 128:
+        # pack adjacent head pairs into the 128-lane dim; the (h, d) →
+        # (h/2, 2d) reshape is zero-copy in BSHD layout
+        h2 = h + h % 2
+        if h % 2:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        qp = q.reshape(b, sq, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, sq, 2 * d)
+        kp = k.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, skv, 2 * d)
+        vp = v.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, skv, 2 * d)
+        o = _flash_fwd_3d_packed(qp, kp, vp, scale, kv_len, block_q, block_k, interpret, d)
+        o = o.reshape(b, h2 // 2, sq, 2 * d).transpose(0, 2, 1, 3).reshape(b, sq, h2, d)
+        return o[:, :, :h] if h % 2 else o
     q3 = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     k3 = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     v3 = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)

@@ -122,7 +122,7 @@ def make_optimizer(cfg: IDBoothConfig, total_steps: int, num_replicas: int = 1):
         schedule = lr
     else:
         raise ValueError(cfg.lr_scheduler)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             schedule,
@@ -132,6 +132,13 @@ def make_optimizer(cfg: IDBoothConfig, total_steps: int, num_replicas: int = 1):
             weight_decay=cfg.adam_weight_decay,
         ),
     )
+    if cfg.gradient_accumulation_steps > 1:
+        # reference semantics: `accelerator.accumulate` averages grads over
+        # N micro-batches and steps the optimizer every N
+        # (`train_ID-Booth.py:511,995`); optax.MultiSteps is the functional
+        # equivalent — the schedule advances per real update only
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)
+    return tx
 
 
 def _cosine_sim(a, b, eps=1e-6):
@@ -284,14 +291,14 @@ def init_trainable(key: jax.Array, cfg: IDBoothConfig, models: ModelBundle, unet
     trainable = {"unet_lora": unet2d.init_lora(k1, unet_params, rank=cfg.lora_rank)}
     if cfg.train_text_encoder and text_params is not None:
         text_lora = {}
-        keys = jax.random.split(k2, len(text_params["layers"]) * 4).reshape(
-            len(text_params["layers"]), 4, -1
-        )
+        # thread the split key so cfg.seed governs text-LoRA init and every
+        # layer/projection draws from an independent stream
+        keys = jax.random.split(k2, len(text_params["layers"]) * 4)
         for i, layer in enumerate(text_params["layers"]):
             text_lora[f"layer_{i}"] = {}
             for j, name in enumerate(("q", "k", "v", "out")):
                 w = layer[name]["w"]
-                a = jax.random.normal(jax.random.key(int(i * 4 + j)), (cfg.lora_rank, w.shape[1])) / cfg.lora_rank
+                a = jax.random.normal(keys[i * 4 + j], (cfg.lora_rank, w.shape[1])) / cfg.lora_rank
                 text_lora[f"layer_{i}"][name] = {
                     "a": a,
                     "b": jnp.zeros((w.shape[0], cfg.lora_rank)),

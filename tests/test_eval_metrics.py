@@ -91,10 +91,26 @@ def test_prdc_disjoint_sets():
     assert out["coverage"] == 0.0
 
 
-def test_prdc_realism_present():
+def test_prdc_realism_is_per_sample_vector():
+    """The reference returns realism PER generated sample (aligned with file
+    order — `dgm_eval/metrics/prdc.py:104-110`), not an aggregate scalar."""
     rng = np.random.default_rng(8)
-    out = prdc(rng.standard_normal((100, 8)), rng.standard_normal((100, 8)), realism=True)
-    assert "realism" in out and out["realism"] > 0
+    real = rng.standard_normal((100, 8))
+    fake = rng.standard_normal((60, 8))
+    out = prdc(real, fake, realism=True)
+    r = np.asarray(out["realism"])
+    assert r.shape == (60,)
+    assert (r > 0).all()
+
+    # oracle: literal reference formula
+    from sklearn.metrics import pairwise_distances as pd
+
+    d_rr = pd(real.astype(np.float32), real.astype(np.float32))
+    d_rf = pd(real.astype(np.float32), fake.astype(np.float32))
+    r_real = np.partition(d_rr, 5, axis=1)[:, 5]
+    mask = r_real < np.median(r_real)
+    expected = (r_real[mask, None] / d_rf[mask, :]).max(axis=0)
+    np.testing.assert_allclose(r, expected, rtol=1e-5)
 
 
 def test_vendi_extremes():

@@ -106,3 +106,50 @@ def test_train_step_sharded_8dev():
     frozen_r = replicate(mesh, frozen)
     t2, o2, metrics = step(trainable_r, opt_r, frozen_r, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_gradient_accumulation_steps():
+    """grad-accum k: params update only every k micro-steps, and the applied
+    update equals one step on the averaged gradients (the reference's
+    accelerator.accumulate semantics, train_ID-Booth.py:995)."""
+    import optax
+
+    cfg = idbooth.IDBoothConfig(
+        which_loss="", resolution=64, gradient_accumulation_steps=2,
+        lr_scheduler="constant",
+    )
+    bundle = TINY
+    frozen = _frozen_params()
+    trainable = idbooth.init_trainable(jax.random.key(4), cfg, bundle, frozen["unet"])
+    opt = idbooth.make_optimizer(cfg, total_steps=8)
+    opt_state = opt.init(trainable)
+    step = idbooth.make_train_step(cfg, bundle, opt, policy=PARITY_POLICY, donate=False)
+    batch = _batch(2)
+
+    t1, o1, _ = step(trainable, opt_state, frozen, batch, jax.random.key(0))
+    # after micro-step 1 of 2: no parameter change yet
+    leaves0 = jax.tree.leaves(trainable)
+    leaves1 = jax.tree.leaves(t1)
+    assert all(np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(leaves0, leaves1))
+
+    t2, o2, _ = step(t1, o1, frozen, batch, jax.random.key(1))
+    # after micro-step 2: the optimizer applied an update
+    leaves2 = jax.tree.leaves(t2)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(leaves0, leaves2))
+
+
+def test_text_lora_init_uses_seed_key():
+    """Text-encoder LoRA init must thread the split key: different seeds give
+    different A matrices, and distinct layers draw independent streams."""
+    cfg = idbooth.IDBoothConfig(which_loss="", resolution=64, train_text_encoder=True)
+    bundle = TINY
+    frozen = _frozen_params()
+    text_params = frozen["text_encoder"]
+    t_a = idbooth.init_trainable(jax.random.key(1), cfg, bundle, frozen["unet"], text_params)
+    t_b = idbooth.init_trainable(jax.random.key(2), cfg, bundle, frozen["unet"], text_params)
+    a1 = np.asarray(t_a["text_lora"]["layer_0"]["q"]["a"])
+    b1 = np.asarray(t_b["text_lora"]["layer_0"]["q"]["a"])
+    assert not np.allclose(a1, b1), "cfg seed must affect text-LoRA init"
+    l0 = np.asarray(t_a["text_lora"]["layer_0"]["q"]["a"])
+    l1 = np.asarray(t_a["text_lora"]["layer_1"]["q"]["a"])
+    assert not np.allclose(l0, l1)

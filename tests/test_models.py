@@ -170,3 +170,25 @@ def test_iresnet_train_mode_updates_state():
     assert not np.allclose(
         np.asarray(new_state["bn1"]["mean"]), np.asarray(state["bn1"]["mean"])
     )
+
+
+def test_unet_honors_norm_groups():
+    """cfg.norm_groups must reach every group_norm call — channels not
+    divisible by 32 only work when the configured group count is used."""
+    cfg = unet2d.UNetConfig(
+        block_out_channels=(24, 48, 48, 48),
+        cross_attention_dim=24,
+        head_dim=8,
+        norm_groups=8,
+    )
+    params = unet2d.init(jax.random.key(0), cfg)
+    out = unet2d.apply(
+        params,
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.asarray([3]),
+        jnp.zeros((1, 77, 24)),
+        cfg,
+        attn_impl="reference",
+    )
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()

@@ -145,3 +145,26 @@ def test_lora_dense_matches_merged_weight():
     factored = lora_dense(x, w, lora_a=a, lora_b=b, scale=scale)
     merged = x @ (w + scale * b @ a).T
     np.testing.assert_allclose(np.asarray(factored), np.asarray(merged), atol=1e-4)
+
+
+def test_flash_packed_even_heads_and_plain_d128():
+    """d=64 routes to the packed two-heads-per-lane-block kernel (odd head
+    counts pad a ghost head); d=128 keeps the plain kernel. Both must match
+    the reference einsum."""
+    # even head count → no ghost pad
+    q, k, v = _qkv(5, 2, 256, 256, 4, 64)
+    ref = _reference_attention(q, k, v, 64**-0.5, None)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    # plain kernel at d=128
+    q, k, v = _qkv(6, 2, 256, 256, 2, 128)
+    ref = _reference_attention(q, k, v, 128**-0.5, None)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    # packed + kv_len mask (77-token cross-attention shape)
+    q, k, v = _qkv(7, 2, 256, 128, 5, 64)
+    ref = _reference_attention(q, k, v, 64**-0.5, 77)
+    out = flash_attention(q, k, v, kv_len=77, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
