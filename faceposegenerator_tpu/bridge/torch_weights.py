@@ -21,6 +21,7 @@ No torch import is required: safetensors files are read with the
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict
 
 import numpy as np
@@ -391,6 +392,84 @@ def convert_iresnet_state_dict(
 # ---------------------------------------------------------------------------
 # Top-level SD2.1 loader
 # ---------------------------------------------------------------------------
+
+
+def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.float32):
+    """DINOv2 ViT weights → `models/dinov2.py` pytree.
+
+    Accepts both the `transformers.Dinov2Model` layout
+    (embeddings.patch_embeddings.projection / encoder.layer.{i}.attention.
+    attention.{query,key,value} / layer_scale{1,2}.lambda1 / layernorm) and
+    the facebookresearch/dinov2 hub layout (patch_embed.proj /
+    blocks.{i}.attn.qkv fused / ls{1,2}.gamma / norm) — the reference loads
+    the hub checkpoint (`dgm_eval/models/dinov2.py:43`)."""
+    from ..models import dinov2 as _dino
+
+    hub = "cls_token" in sd  # hub layout has top-level cls_token/pos_embed
+
+    def arr(k):
+        return np.asarray(sd[k])
+
+    if hub:
+        patch_w, patch_b = arr("patch_embed.proj.weight"), arr("patch_embed.proj.bias")
+        cls_token, pos = arr("cls_token"), arr("pos_embed")
+        fin_g, fin_b = arr("norm.weight"), arr("norm.bias")
+        n_layers = max(int(m.group(1)) for m in
+                       (re.match(r"blocks\.(\d+)\.", k) for k in sd) if m) + 1
+    else:
+        patch_w = arr("embeddings.patch_embeddings.projection.weight")
+        patch_b = arr("embeddings.patch_embeddings.projection.bias")
+        cls_token, pos = arr("embeddings.cls_token"), arr("embeddings.position_embeddings")
+        fin_g, fin_b = arr("layernorm.weight"), arr("layernorm.bias")
+        n_layers = max(int(m.group(1)) for m in
+                       (re.match(r"encoder\.layer\.(\d+)\.", k) for k in sd) if m) + 1
+
+    layers = []
+    for i in range(n_layers):
+        if hub:
+            p = f"blocks.{i}"
+            qkv_w, qkv_b = arr(f"{p}.attn.qkv.weight"), arr(f"{p}.attn.qkv.bias")
+            d = qkv_w.shape[0] // 3
+            qw, kw, vw = qkv_w[:d], qkv_w[d : 2 * d], qkv_w[2 * d :]
+            qb, kb, vb = qkv_b[:d], qkv_b[d : 2 * d], qkv_b[2 * d :]
+            ow, ob = arr(f"{p}.attn.proj.weight"), arr(f"{p}.attn.proj.bias")
+            ls1, ls2 = arr(f"{p}.ls1.gamma"), arr(f"{p}.ls2.gamma")
+            n1, n2 = f"{p}.norm1", f"{p}.norm2"
+            f1, f2 = f"{p}.mlp.fc1", f"{p}.mlp.fc2"
+        else:
+            p = f"encoder.layer.{i}"
+            a = f"{p}.attention.attention"
+            qw, qb = arr(f"{a}.query.weight"), arr(f"{a}.query.bias")
+            kw, kb = arr(f"{a}.key.weight"), arr(f"{a}.key.bias")
+            vw, vb = arr(f"{a}.value.weight"), arr(f"{a}.value.bias")
+            ow, ob = arr(f"{p}.attention.output.dense.weight"), arr(f"{p}.attention.output.dense.bias")
+            ls1, ls2 = arr(f"{p}.layer_scale1.lambda1"), arr(f"{p}.layer_scale2.lambda1")
+            n1, n2 = f"{p}.norm1", f"{p}.norm2"
+            f1, f2 = f"{p}.mlp.fc1", f"{p}.mlp.fc2"
+        layers.append(
+            {
+                "norm1": _norm(sd, n1, dtype),
+                "q": {"w": jnp.asarray(qw, dtype), "b": jnp.asarray(qb, dtype)},
+                "k": {"w": jnp.asarray(kw, dtype), "b": jnp.asarray(kb, dtype)},
+                "v": {"w": jnp.asarray(vw, dtype), "b": jnp.asarray(vb, dtype)},
+                "out": {"w": jnp.asarray(ow, dtype), "b": jnp.asarray(ob, dtype)},
+                "ls1": jnp.asarray(ls1, dtype),
+                "norm2": _norm(sd, n2, dtype),
+                "fc1": _dense(sd, f1, dtype),
+                "fc2": _dense(sd, f2, dtype),
+                "ls2": jnp.asarray(ls2, dtype),
+            }
+        )
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(patch_w.transpose(2, 3, 1, 0), dtype),  # OIHW→HWIO
+            "b": jnp.asarray(patch_b, dtype),
+        },
+        "cls_token": jnp.asarray(cls_token.reshape(1, 1, -1), dtype),
+        "pos_embed": jnp.asarray(pos, dtype),
+        "layers": layers,
+        "final_norm": {"g": jnp.asarray(fin_g, dtype), "b": jnp.asarray(fin_b, dtype)},
+    }
 
 
 def load_sd21_params(model_dir: str, dtype=jnp.float32) -> dict:

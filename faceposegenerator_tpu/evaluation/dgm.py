@@ -99,8 +99,59 @@ def _arcface_encoder(weights_path: Optional[str] = None, **kw):
     return encode
 
 
+def _dinov2_encoder(weights_path: Optional[str] = None, arch: str = "vitl14", **kw):
+    """The reference's PRIMARY encoder: DINOv2 feeding 224² bicubic-resized,
+    imagenet-normalized images; feature = final-LN CLS token
+    (`dgm_eval/models/dinov2.py:31-59`). `weights_path` may point to a hub or
+    transformers-format checkpoint (.safetensors/.pth/.bin); absent weights
+    fall back to random init so the pipeline stays runnable offline."""
+    import jax
+
+    from ..core.precision import DEFAULT_POLICY
+    from ..models import dinov2
+
+    cfg = {
+        "vitl14": dinov2.VITL14_CONFIG,
+        "vitb14": dinov2.VITB14_CONFIG,
+        "vits14": dinov2.VITS14_CONFIG,
+    }[arch]
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_dinov2_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        params = convert_dinov2_state_dict(loader(weights_path), cfg)
+    else:
+        params = dinov2.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(x):
+        return dinov2.cls_feature(params, x, cfg, policy=DEFAULT_POLICY)
+
+    imagenet_mean = np.array([0.485, 0.456, 0.406], np.float32)
+    imagenet_std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - imagenet_mean) / imagenet_std
+        return np.asarray(fwd(x))
+
+    return encode
+
+
 register_encoder("pixel", _pixel_encoder)
 register_encoder("arcface", _arcface_encoder)
+register_encoder("dinov2", _dinov2_encoder)
 
 
 def _file_order_key(name: str):
@@ -239,10 +290,15 @@ def main(argv=None):
     ap.add_argument("--nearest_k", type=int, default=5)
     ap.add_argument("--output_dir", default="dgm_eval_out")
     ap.add_argument("--arcface_weights", default=None)
+    ap.add_argument(
+        "--encoder_weights", default=None,
+        help="checkpoint for the chosen encoder (dinov2/arcface; .safetensors/.pth)",
+    )
     ap.add_argument("--test_path", default=None, help="held-out set for ct/fls")
     args = ap.parse_args(argv)
 
-    encoder = _ENCODERS[args.model](weights_path=args.arcface_weights) if args.model == "arcface" else _ENCODERS[args.model]()
+    weights = args.encoder_weights or args.arcface_weights
+    encoder = _ENCODERS[args.model](weights_path=weights)
     real_path, gen_paths = args.path[0], args.path[1:]
     reps_real, _ = compute_representations(
         real_path, encoder, args.model, args.nsample, args.seed, args.batch_size,

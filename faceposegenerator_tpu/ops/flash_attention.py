@@ -176,46 +176,46 @@ def _fwd_kernel_packed(
     k = k_ref[0]  # (bk, 2d) = [ka | kb]
     v = v_ref[0]
 
-    bk = k.shape[0]
-    lane_lo_k = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) < d  # (bk, 2d)
-    zero = jnp.zeros((), k.dtype)
-    k_ext = jnp.concatenate(
-        [jnp.where(lane_lo_k, k, zero), jnp.where(lane_lo_k, zero, k)], axis=0
-    )  # (2bk, 2d) block-diagonal
+    # Mask Q's lane halves instead of building block-diagonal K/V extensions:
+    # q_lo·[ka|kb]ᵀ = qa·kaᵀ exactly (the qb lanes are zero), so K and V ride
+    # the MXU unmodified and the only elementwise work besides the softmax is
+    # two (bq, 2d) masks and the output lane-select.
+    zero = jnp.zeros((), q.dtype)
+    lane_lo_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) < d  # (bq, 2d)
+    q_lo = jnp.where(lane_lo_q, q, zero)
+    q_hi = jnp.where(lane_lo_q, zero, q)
+    dn = (((1,), (1,)), ((), ()))
+    s_a = jax.lax.dot_general(q_lo, k, dn, preferred_element_type=jnp.float32) * scale
+    s_b = jax.lax.dot_general(q_hi, k, dn, preferred_element_type=jnp.float32) * scale
 
-    s = jax.lax.dot_general(
-        q, k_ext, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale  # (bq, 2bk): cols [0,bk) head a, [bk,2bk) head b
-
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    is_a = col < bk
     if kv_len is not None:
-        pos = j * block_k + jnp.where(is_a, col, col - bk)
-        s = jnp.where(pos < kv_len, s, NEG_INF)
+        pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s_a.shape, 1)
+        live = pos < kv_len
+        s_a = jnp.where(live, s_a, NEG_INF)
+        s_b = jnp.where(live, s_b, NEG_INF)
 
-    m_a = jnp.max(jnp.where(is_a, s, NEG_INF), axis=1, keepdims=True)  # (bq, 1)
-    m_b = jnp.max(jnp.where(is_a, NEG_INF, s), axis=1, keepdims=True)
     m_prev_a = m_ref[:, :1]
     m_prev_b = m_ref[:, d : d + 1]
-    m_new_a = jnp.maximum(m_prev_a, m_a)
-    m_new_b = jnp.maximum(m_prev_b, m_b)
-    p = jnp.exp(s - jnp.where(is_a, m_new_a, m_new_b))
-    l_a = jnp.sum(jnp.where(is_a, p, 0.0), axis=1, keepdims=True)
-    l_b = jnp.sum(jnp.where(is_a, 0.0, p), axis=1, keepdims=True)
+    m_new_a = jnp.maximum(m_prev_a, jnp.max(s_a, axis=1, keepdims=True))
+    m_new_b = jnp.maximum(m_prev_b, jnp.max(s_b, axis=1, keepdims=True))
+    p_a = jnp.exp(s_a - m_new_a)
+    p_b = jnp.exp(s_b - m_new_b)
+    l_a = jnp.sum(p_a, axis=1, keepdims=True)
+    l_b = jnp.sum(p_b, axis=1, keepdims=True)
 
     lane_lo = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < d  # (bq, 2d)
     alpha = jnp.where(
         lane_lo, jnp.exp(m_prev_a - m_new_a), jnp.exp(m_prev_b - m_new_b)
     )
 
-    v_ext = jnp.concatenate(
-        [jnp.where(lane_lo_k, v, zero), jnp.where(lane_lo_k, zero, v)], axis=0
-    )  # (2bk, 2d) block-diagonal
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    dn_av = (((1,), (0,)), ((), ()))
+    d_a = jax.lax.dot_general(
+        p_a.astype(v.dtype), v, dn_av, preferred_element_type=jnp.float32
+    )  # lanes < d hold pa·va; upper lanes (pa·vb) are discarded by the select
+    d_b = jax.lax.dot_general(
+        p_b.astype(v.dtype), v, dn_av, preferred_element_type=jnp.float32
     )
+    acc_ref[:] = acc_ref[:] * alpha + jnp.where(lane_lo, d_a, d_b)
     m_ref[:] = jnp.where(lane_lo, m_new_a, m_new_b)
     l_ref[:] = l_ref[:] * alpha + jnp.where(lane_lo, l_a, l_b)
 
