@@ -266,74 +266,161 @@ class MTCNN:
         return scales
 
     def detect(self, img: np.ndarray, landmarks: bool = False):
+        """Single-image detection = batch-of-1 `detect_batch`."""
+        res = self.detect_batch(np.asarray(img, np.float32)[None], landmarks=landmarks)
+        if landmarks:
+            return res[0][0], res[1][0], res[2][0]
+        return res[0][0], res[1][0]
+
+    def detect_batch(self, imgs: np.ndarray, landmarks: bool = False):
+        """Batched detection over same-sized images.
+
+        The reference stacks a whole identity folder and detects in one call
+        (`extract_ArcFace_embeds.py:42-52`); here the image pyramid is shared
+        across the batch and each cascade stage runs as ONE device call over
+        all images' candidates (P-Net per scale over the full batch; R-Net/
+        O-Net over the concatenated crop set with an image-index vector),
+        instead of a per-image pyramid loop.
+
+        Returns (boxes, probs[, points]) as per-image lists; entries are
+        None where no face survived — matching `detect`'s contract.
+        """
         import cv2
 
-        img = np.asarray(img, np.float32)
-        if img.ndim != 3:
-            raise ValueError("expected HWC image")
-        h, w = img.shape[:2]
+        imgs = np.asarray(imgs, np.float32)
+        if imgs.ndim != 4:
+            raise ValueError("expected (B, H, W, C) image batch")
+        B, h, w = imgs.shape[:3]
 
-        # stage 1: P-Net over the pyramid
-        all_boxes = []
+        # ---- stage 1: P-Net over the shared pyramid, batched over images
+        per_img = [[] for _ in range(B)]
         for scale in self._pyramid_scales(h, w):
             sh, sw = int(np.ceil(h * scale)), int(np.ceil(w * scale))
             if sh < 12 or sw < 12:
                 continue
-            resized = cv2.resize(img, (sw, sh))
-            prob, reg = pnet_apply(self.params["pnet"], _norm(resized)[None])
-            prob = np.asarray(prob[0])
-            reg = np.asarray(reg[0])
-            ys, xs = np.where(prob > self.thresholds[0])
-            if len(ys) == 0:
-                continue
+            resized = np.stack(
+                [cv2.resize(im, (sw, sh)) for im in imgs]
+            )
+            prob, reg = pnet_apply(self.params["pnet"], _norm(resized))
+            prob = np.asarray(prob)
+            reg = np.asarray(reg)
             stride, cell = 2, 12
-            bb = np.stack(
+            for b in range(B):
+                ys, xs = np.where(prob[b] > self.thresholds[0])
+                if len(ys) == 0:
+                    continue
+                bb = np.stack(
+                    [
+                        (stride * xs) / scale,
+                        (stride * ys) / scale,
+                        (stride * xs + cell) / scale,
+                        (stride * ys + cell) / scale,
+                    ],
+                    axis=1,
+                )
+                r = reg[b, ys, xs]
+                scores = prob[b, ys, xs]
+                keep = _nms(bb, scores, 0.5)
+                per_img[b].append(
+                    np.concatenate([bb[keep], scores[keep, None], r[keep]], axis=1)
+                )
+
+        def _none_result():
+            nones = [None] * B
+            return (nones, list(nones), list(nones)) if landmarks else (nones, list(nones))
+
+        # per-image stage-1 NMS + regression + square
+        cand = [None] * B
+        for b in range(B):
+            if not per_img[b]:
+                continue
+            boxes = np.concatenate(per_img[b])
+            keep = _nms(boxes[:, :4], boxes[:, 4], 0.7)
+            boxes = boxes[keep]
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            reg_boxes = np.stack(
                 [
-                    (stride * xs) / scale,
-                    (stride * ys) / scale,
-                    (stride * xs + cell) / scale,
-                    (stride * ys + cell) / scale,
+                    boxes[:, 0] + boxes[:, 5] * bw,
+                    boxes[:, 1] + boxes[:, 6] * bh,
+                    boxes[:, 2] + boxes[:, 7] * bw,
+                    boxes[:, 3] + boxes[:, 8] * bh,
                 ],
                 axis=1,
             )
-            r = reg[ys, xs]
-            scores = prob[ys, xs]
-            keep = _nms(bb, scores, 0.5)
-            boxes = np.concatenate([bb[keep], scores[keep, None], r[keep]], axis=1)
-            all_boxes.append(boxes)
-        if not all_boxes:
-            return (None, None, None) if landmarks else (None, None)
-        boxes = np.concatenate(all_boxes)
-        keep = _nms(boxes[:, :4], boxes[:, 4], 0.7)
-        boxes = boxes[keep]
-        # apply P-Net regression
-        bw = boxes[:, 2] - boxes[:, 0]
-        bh = boxes[:, 3] - boxes[:, 1]
-        reg_boxes = np.stack(
-            [
-                boxes[:, 0] + boxes[:, 5] * bw,
-                boxes[:, 1] + boxes[:, 6] * bh,
-                boxes[:, 2] + boxes[:, 7] * bw,
-                boxes[:, 3] + boxes[:, 8] * bh,
-            ],
-            axis=1,
-        )
-        boxes4 = _square(reg_boxes)
+            cand[b] = _square(reg_boxes)
 
-        # stage 2: R-Net
-        crops = _crop_batch(img, boxes4, 24)
-        prob, reg = rnet_apply(self.params["rnet"], _norm(crops))
-        prob, reg = np.asarray(prob), np.asarray(reg)
-        mask = prob > self.thresholds[1]
-        if not mask.any():
-            return (None, None, None) if landmarks else (None, None)
-        boxes4, prob, reg = boxes4[mask], prob[mask], reg[mask]
-        keep = _nms(boxes4, prob, 0.7)
-        boxes4, prob, reg = boxes4[keep], prob[keep], reg[keep]
-        bw = boxes4[:, 2] - boxes4[:, 0]
-        bh = boxes4[:, 3] - boxes4[:, 1]
-        boxes4 = _square(
-            np.stack(
+        def _gathered_stage(boxes_per_img, size, net):
+            """Run `net` once over every image's crops; returns per-image
+            (prob, reg[, lmk]) split back by the index vector."""
+            idx, crops = [], []
+            for b in range(B):
+                if boxes_per_img[b] is not None and len(boxes_per_img[b]):
+                    idx.append(np.full(len(boxes_per_img[b]), b))
+                    crops.append(_crop_batch(imgs[b], boxes_per_img[b], size))
+            if not idx:
+                return None, None
+            idx = np.concatenate(idx)
+            out = net(self.params["rnet" if size == 24 else "onet"], _norm(np.concatenate(crops)))
+            return idx, tuple(np.asarray(o) for o in out)
+
+        # ---- stage 2: R-Net, one call over all candidates
+        idx, out = _gathered_stage(cand, 24, rnet_apply)
+        if idx is None:
+            return _none_result()
+        prob_all, reg_all = out
+        for b in range(B):
+            sel = idx == b
+            if cand[b] is None or not sel.any():
+                cand[b] = None
+                continue
+            boxes4, prob, reg = cand[b], prob_all[sel], reg_all[sel]
+            mask = prob > self.thresholds[1]
+            if not mask.any():
+                cand[b] = None
+                continue
+            boxes4, prob, reg = boxes4[mask], prob[mask], reg[mask]
+            keep = _nms(boxes4, prob, 0.7)
+            boxes4, prob, reg = boxes4[keep], prob[keep], reg[keep]
+            bw = boxes4[:, 2] - boxes4[:, 0]
+            bh = boxes4[:, 3] - boxes4[:, 1]
+            cand[b] = _square(
+                np.stack(
+                    [
+                        boxes4[:, 0] + reg[:, 0] * bw,
+                        boxes4[:, 1] + reg[:, 1] * bh,
+                        boxes4[:, 2] + reg[:, 2] * bw,
+                        boxes4[:, 3] + reg[:, 3] * bh,
+                    ],
+                    axis=1,
+                )
+            )
+
+        # ---- stage 3: O-Net, one call over all survivors
+        idx, out = _gathered_stage(cand, 48, onet_apply)
+        if idx is None:
+            return _none_result()
+        prob_all, reg_all, lmk_all = out
+        final_boxes, final_probs, final_points = [None] * B, [None] * B, [None] * B
+        for b in range(B):
+            sel = idx == b
+            if cand[b] is None or not sel.any():
+                continue
+            boxes4, prob, reg, lmk = cand[b], prob_all[sel], reg_all[sel], lmk_all[sel]
+            mask = prob > self.thresholds[2]
+            if not mask.any():
+                continue
+            boxes4, prob, reg, lmk = boxes4[mask], prob[mask], reg[mask], lmk[mask]
+            bw = boxes4[:, 2] - boxes4[:, 0]
+            bh = boxes4[:, 3] - boxes4[:, 1]
+            points = np.stack(
+                [
+                    boxes4[:, 0:1] + lmk[:, 0:5] * bw[:, None],
+                    boxes4[:, 1:2] + lmk[:, 5:10] * bh[:, None],
+                ],
+                axis=2,
+            )
+            final = np.stack(
                 [
                     boxes4[:, 0] + reg[:, 0] * bw,
                     boxes4[:, 1] + reg[:, 1] * bh,
@@ -342,41 +429,15 @@ class MTCNN:
                 ],
                 axis=1,
             )
-        )
-
-        # stage 3: O-Net
-        crops = _crop_batch(img, boxes4, 48)
-        prob, reg, lmk = onet_apply(self.params["onet"], _norm(crops))
-        prob, reg, lmk = np.asarray(prob), np.asarray(reg), np.asarray(lmk)
-        mask = prob > self.thresholds[2]
-        if not mask.any():
-            return (None, None, None) if landmarks else (None, None)
-        boxes4, prob, reg, lmk = boxes4[mask], prob[mask], reg[mask], lmk[mask]
-        bw = boxes4[:, 2] - boxes4[:, 0]
-        bh = boxes4[:, 3] - boxes4[:, 1]
-        points = np.stack(
-            [
-                boxes4[:, 0:1] + lmk[:, 0:5] * bw[:, None],
-                boxes4[:, 1:2] + lmk[:, 5:10] * bh[:, None],
-            ],
-            axis=2,
-        )  # (N, 5, 2)
-        final = np.stack(
-            [
-                boxes4[:, 0] + reg[:, 0] * bw,
-                boxes4[:, 1] + reg[:, 1] * bh,
-                boxes4[:, 2] + reg[:, 2] * bw,
-                boxes4[:, 3] + reg[:, 3] * bh,
-            ],
-            axis=1,
-        )
-        keep = _nms(final, prob, 0.7, method="min")
-        final, prob, points = final[keep], prob[keep], points[keep]
-        order = prob.argsort()[::-1]
-        final, prob, points = final[order], prob[order], points[order]
+            keep = _nms(final, prob, 0.7, method="min")
+            final, prob, points = final[keep], prob[keep], points[keep]
+            order = prob.argsort()[::-1]
+            final_boxes[b] = final[order]
+            final_probs[b] = prob[order]
+            final_points[b] = points[order]
         if landmarks:
-            return final, prob, points
-        return final, prob
+            return final_boxes, final_probs, final_points
+        return final_boxes, final_probs
 
 
 def convert_mtcnn_state_dict(sd: Dict[str, np.ndarray]) -> Dict:

@@ -42,6 +42,12 @@ import os as _os
 
 DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "512"))
 DEFAULT_BLOCK_K = int(_os.environ.get("FLASH_BLOCK_K", "1024"))
+_BF16_EXP = _os.environ.get("FLASH_BF16_EXP", "0") == "1"
+# FLASH_IMPL=official routes packed self-attention through
+# jax.experimental.pallas.ops.tpu.flash_attention (heavier-tuned Mosaic
+# scheduling) — packing to d=128 is still ours; cross-attention (kv_len)
+# keeps the in-house kernel
+_IMPL = _os.environ.get("FLASH_IMPL", "own")
 
 
 def flash_supported(q, k, v) -> bool:
@@ -185,8 +191,11 @@ def _fwd_kernel_packed(
     q_lo = jnp.where(lane_lo_q, q, zero)
     q_hi = jnp.where(lane_lo_q, zero, q)
     dn = (((1,), (1,)), ((), ()))
-    s_a = jax.lax.dot_general(q_lo, k, dn, preferred_element_type=jnp.float32) * scale
-    s_b = jax.lax.dot_general(q_hi, k, dn, preferred_element_type=jnp.float32) * scale
+    s_a = jax.lax.dot_general(q_lo, k, dn, preferred_element_type=jnp.float32)
+    s_b = jax.lax.dot_general(q_hi, k, dn, preferred_element_type=jnp.float32)
+    if scale != 1.0:  # callers fold the scale into q; kept for direct use
+        s_a = s_a * scale
+        s_b = s_b * scale
 
     if kv_len is not None:
         pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s_a.shape, 1)
@@ -198,10 +207,18 @@ def _fwd_kernel_packed(
     m_prev_b = m_ref[:, d : d + 1]
     m_new_a = jnp.maximum(m_prev_a, jnp.max(s_a, axis=1, keepdims=True))
     m_new_b = jnp.maximum(m_prev_b, jnp.max(s_b, axis=1, keepdims=True))
-    p_a = jnp.exp(s_a - m_new_a)
-    p_b = jnp.exp(s_b - m_new_b)
-    l_a = jnp.sum(p_a, axis=1, keepdims=True)
-    l_b = jnp.sum(p_b, axis=1, keepdims=True)
+    if _BF16_EXP:
+        # bench-only knob: evaluate exp at bf16 (2 elems/VPU lane) — the
+        # kernel is softmax-VPU-bound; statistics (m, l) stay fp32
+        p_a = jnp.exp((s_a - m_new_a).astype(jnp.bfloat16))
+        p_b = jnp.exp((s_b - m_new_b).astype(jnp.bfloat16))
+        l_a = jnp.sum(p_a, axis=1, keepdims=True, dtype=jnp.float32)
+        l_b = jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
+    else:
+        p_a = jnp.exp(s_a - m_new_a)
+        p_b = jnp.exp(s_b - m_new_b)
+        l_a = jnp.sum(p_a, axis=1, keepdims=True)
+        l_b = jnp.sum(p_b, axis=1, keepdims=True)
 
     lane_lo = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < d  # (bq, 2d)
     alpha = jnp.where(
@@ -289,10 +306,22 @@ def _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret):
             q = jnp.pad(q, ((0, 0), (0, 0), (0, 1), (0, 0)))
             k = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        q = (q * jnp.asarray(scale, q.dtype)) if scale != 1.0 else q  # fold scale
+        if _IMPL == "official" and kv_len is None and not interpret:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as _official,
+            )
+
+            qo = q.reshape(b, sq, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
+            ko = k.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
+            vo = v.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
+            o = _official(qo, ko, vo, causal=False, sm_scale=1.0)
+            o = o.transpose(0, 2, 1, 3).reshape(b, sq, h2, d)
+            return o[:, :, :h] if h % 2 else o
         qp = q.reshape(b, sq, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, sq, 2 * d)
         kp = k.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, skv, 2 * d)
         vp = v.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, skv, 2 * d)
-        o = _flash_fwd_3d_packed(qp, kp, vp, scale, kv_len, block_q, block_k, interpret, d)
+        o = _flash_fwd_3d_packed(qp, kp, vp, 1.0, kv_len, block_q, block_k, interpret, d)
         o = o.reshape(b, h2 // 2, sq, 2 * d).transpose(0, 2, 1, 3).reshape(b, sq, h2, d)
         return o[:, :, :h] if h % 2 else o
     q3 = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)

@@ -39,8 +39,20 @@ def tp_sharding_plan(mesh: Mesh):
     return row, col, rep
 
 
-def _shard_attn(attn, mesh, n_model):
+def _shard_attn(attn, mesh, n_model, head_dim):
+    """Shard the projections head-aligned, or replicate when the level's
+    head count doesn't divide the model axis.
+
+    SD2.1's per-level head counts are 5/10/20: at model=2 the 5-head level-0
+    attention replicates (its heads can't split evenly) while the 10- and
+    20-head levels shard; at model=4 the 20-head levels shard. Replication
+    keeps the attention math local and exact at any axis size — the
+    alternative (splitting mid-head) would make XLA re-gather the full
+    projection at the (b, s, nh, hd) reshape anyway."""
     row, col, rep = tp_sharding_plan(mesh)
+    n_heads = attn["q"]["w"].shape[0] // head_dim
+    if n_heads % n_model != 0:
+        return {k: jax.tree.map(lambda x: _put(x, mesh, P()), v) for k, v in attn.items()}
     out = dict(attn)
     for name in ("q", "k", "v"):
         p = dict(attn[name])
@@ -54,14 +66,14 @@ def _shard_attn(attn, mesh, n_model):
     return out
 
 
-def _shard_transformer(tr, mesh, n_model):
+def _shard_transformer(tr, mesh, n_model, head_dim):
     row, col, rep = tp_sharding_plan(mesh)
     out = dict(tr)
     blocks = []
     for blk in tr["blocks"]:
         b = dict(blk)
-        b["attn1"] = _shard_attn(blk["attn1"], mesh, n_model)
-        b["attn2"] = _shard_attn(blk["attn2"], mesh, n_model)
+        b["attn1"] = _shard_attn(blk["attn1"], mesh, n_model, head_dim)
+        b["attn2"] = _shard_attn(blk["attn2"], mesh, n_model, head_dim)
         ff_in = dict(blk["ff_in"])
         # GEGLU weight rows are [value(4h); gate(4h)]; row-sharding the 8h
         # output dim is correct — the later split at 4h slices the logical
@@ -80,11 +92,12 @@ def _shard_transformer(tr, mesh, n_model):
     return out
 
 
-def shard_unet_params_tp(params, mesh: Mesh):
+def shard_unet_params_tp(params, mesh: Mesh, head_dim: int = 64):
     """Place UNet params for tensor parallelism over "model"; everything not
-    attention/MLP is replicated. Head count per level must divide the model
-    axis (SD2.1: 5/10/20 heads → model ∈ {1, 5}; generic configs: any
-    divisor of num_heads)."""
+    attention/MLP is replicated. Levels whose head count doesn't divide the
+    model axis keep their attention replicated (see `_shard_attn`), so ANY
+    model-axis size is legal for SD2.1 (5/10/20 heads): model=2 shards the
+    10/20-head levels, model=4 the 20-head ones, model=5 all of them."""
     n_model = mesh.shape[MODEL_AXIS]
     rep = NamedSharding(mesh, P())
 
@@ -105,7 +118,7 @@ def shard_unet_params_tp(params, mesh: Mesh):
         if block.get("attentions") is not None:
             attns = []
             for tr in block["attentions"]:
-                t = _shard_transformer(tr, mesh, n_model)
+                t = _shard_transformer(tr, mesh, n_model, head_dim)
                 t["norm"] = replicate(tr["norm"])
                 t["proj_in"] = replicate(tr["proj_in"])
                 t["proj_out"] = replicate(tr["proj_out"])

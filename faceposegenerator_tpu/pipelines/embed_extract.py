@@ -50,20 +50,32 @@ def extract_folder_embeddings(
         dst = os.path.join(output_root, id_folder)
         os.makedirs(dst, exist_ok=True)
         names = list_images(src)
+        imgs = [
+            np.asarray(Image.open(os.path.join(src, name)).convert("RGB"))
+            for name in names
+        ]
         faces, face_names = [], []
-        for name in names:
-            img = np.asarray(Image.open(os.path.join(src, name)).convert("RGB"))
-            if detector is not None:
-                det = detector.detect(img)
-                boxes = det[0]
+        if detector is not None and imgs:
+            # the reference stacks the whole identity folder into one detect
+            # call (`extract_ArcFace_embeds.py:42-52`); use the batched
+            # cascade when all images share a size, else fall back per-image
+            boxes_list: List = []
+            if hasattr(detector, "detect_batch") and len({im.shape for im in imgs}) == 1:
+                boxes_list = detector.detect_batch(np.stack(imgs))[0]
+            else:
+                boxes_list = [detector.detect(im)[0] for im in imgs]
+            for name, img, boxes in zip(names, imgs, boxes_list):
                 if boxes is None or len(boxes) == 0:
                     missing.append(os.path.join(id_folder, name))
                     continue
-                crop = bbox_crop_resize(img, boxes[0], 112)
-            else:
-                crop = bbox_crop_resize(img, np.array([0, 0, img.shape[1], img.shape[0]]), 112)
-            faces.append(crop)
-            face_names.append(name)
+                faces.append(bbox_crop_resize(img, boxes[0], 112))
+                face_names.append(name)
+        else:
+            for name, img in zip(names, imgs):
+                faces.append(
+                    bbox_crop_resize(img, np.array([0, 0, img.shape[1], img.shape[0]]), 112)
+                )
+                face_names.append(name)
 
         # batched device embedding
         for start in range(0, len(faces), batch_size):

@@ -185,3 +185,109 @@ def test_save_image_grid(tmp_path):
 
     g = Image.open(path)
     assert g.size == (24, 16)
+
+
+import jax.numpy as jnp
+
+
+def _golden_mtcnn_params():
+    """Hand-constructed weights that fire on a BRIGHT SQUARE: P-Net channel 0
+    averages brightness through the stack and the face logit is 50·feat−5
+    (prob≈1 on the square, ≈0.007 on black); R-Net/O-Net always pass with
+    zero regression and fixed landmark fractions. Pins the cascade logic
+    (pyramid, NMS, regression, squaring, landmark mapping) before real
+    facenet-pytorch weights are available."""
+
+    def conv(kh, kw, cin, cout, w=None, b=None):
+        return {
+            "w": jnp.zeros((kh, kw, cin, cout)) if w is None else w,
+            "b": jnp.zeros((cout,)) if b is None else b,
+        }
+
+    def fc(cout, cin, b=None):
+        return {"w": jnp.zeros((cout, cin)), "b": jnp.zeros((cout,)) if b is None else b}
+
+    w1 = np.zeros((3, 3, 3, 10), np.float32)
+    w1[:, :, :, 0] = 1.0 / 27.0  # channel 0 = brightness average
+    w2 = np.zeros((3, 3, 10, 16), np.float32)
+    w2[:, :, 0, 0] = 1.0 / 9.0
+    w3 = np.zeros((3, 3, 16, 32), np.float32)
+    w3[:, :, 0, 0] = 1.0 / 9.0
+    wcls = np.zeros((1, 1, 32, 2), np.float32)
+    wcls[0, 0, 0, 1] = 50.0  # with bias -45: fires only when the whole
+    # 12x12 receptive field is bright (feat≈1), not on partial overlaps
+    pnet = {
+        "conv1": conv(3, 3, 3, 10, jnp.asarray(w1)), "prelu1": jnp.zeros((10,)),
+        "conv2": conv(3, 3, 10, 16, jnp.asarray(w2)), "prelu2": jnp.zeros((16,)),
+        "conv3": conv(3, 3, 16, 32, jnp.asarray(w3)), "prelu3": jnp.zeros((32,)),
+        "cls": conv(1, 1, 32, 2, jnp.asarray(wcls), jnp.asarray([0.0, -45.0])),
+        "reg": conv(1, 1, 32, 4),
+    }
+    rnet = {
+        "conv1": conv(3, 3, 3, 28), "prelu1": jnp.zeros((28,)),
+        "conv2": conv(3, 3, 28, 48), "prelu2": jnp.zeros((48,)),
+        "conv3": conv(2, 2, 48, 64), "prelu3": jnp.zeros((64,)),
+        "fc": fc(128, 64 * 3 * 3), "prelu4": jnp.zeros((128,)),
+        "cls": fc(2, 128, jnp.asarray([0.0, 5.0])),  # always pass
+        "reg": fc(4, 128),
+    }
+    lmk_bias = jnp.asarray([0.3, 0.7, 0.5, 0.3, 0.7, 0.3, 0.3, 0.5, 0.7, 0.7])
+    onet = {
+        "conv1": conv(3, 3, 3, 32), "prelu1": jnp.zeros((32,)),
+        "conv2": conv(3, 3, 32, 64), "prelu2": jnp.zeros((64,)),
+        "conv3": conv(3, 3, 64, 64), "prelu3": jnp.zeros((64,)),
+        "conv4": conv(2, 2, 64, 128), "prelu4": jnp.zeros((128,)),
+        "fc": fc(256, 128 * 3 * 3), "prelu5": jnp.zeros((256,)),
+        "cls": fc(2, 256, jnp.asarray([0.0, 5.0])),
+        "reg": fc(4, 256),
+        "lmk": fc(10, 256, lmk_bias),
+    }
+    return {"pnet": pnet, "rnet": rnet, "onet": onet}
+
+
+def test_mtcnn_cascade_golden_bright_square():
+    det = mtcnn.MTCNN(params=_golden_mtcnn_params())
+    img = np.zeros((96, 96, 3), np.float32)
+    img[24:72, 24:72] = 255.0  # the "face"
+
+    boxes, probs, points = det.detect(img, landmarks=True)
+    assert boxes is not None and len(boxes) >= 1
+    # top detection centers on the bright square
+    x0, y0, x1, y1 = boxes[0]
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    assert 24 <= cx <= 72 and 24 <= cy <= 72, boxes[0]
+    assert probs[0] > 0.9
+    # landmarks at the configured fractions, inside the box
+    pts = points[0]
+    assert pts.shape == (5, 2)
+    assert (pts[:, 0] >= x0 - 1).all() and (pts[:, 0] <= x1 + 1).all()
+    np.testing.assert_allclose(pts[2, 0], x0 + 0.5 * (x1 - x0), rtol=1e-5)
+
+    # an all-black image finds nothing
+    none_box, none_prob = det.detect(np.zeros((96, 96, 3), np.float32))
+    assert none_box is None and none_prob is None
+
+
+def test_mtcnn_detect_batch_matches_single():
+    """detect_batch shares the pyramid and batches the net calls; results
+    must equal per-image detect, including None for face-less images
+    (reference batch contract, extract_ArcFace_embeds.py:42-52)."""
+    det = mtcnn.MTCNN(params=_golden_mtcnn_params())
+    face = np.zeros((96, 96, 3), np.float32)
+    face[24:72, 24:72] = 255.0
+    face2 = np.zeros((96, 96, 3), np.float32)
+    face2[8:40, 40:88] = 255.0
+    blank = np.zeros((96, 96, 3), np.float32)
+
+    single = [det.detect(im, landmarks=True) for im in (face, face2, blank)]
+    batch = det.detect_batch(np.stack([face, face2, blank]), landmarks=True)
+
+    for b in range(3):
+        sb, sp, sl = single[b]
+        bb, bp, bl = batch[0][b], batch[1][b], batch[2][b]
+        if sb is None:
+            assert bb is None and bp is None and bl is None
+        else:
+            np.testing.assert_allclose(bb, sb, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(bp, sp, rtol=1e-5)
+            np.testing.assert_allclose(bl, sl, rtol=1e-5, atol=1e-5)
