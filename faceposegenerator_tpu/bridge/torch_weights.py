@@ -472,6 +472,71 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.flo
     }
 
 
+def configs_from_model_dir(model_dir: str):
+    """Read the diffusers config.json files of a local SD model directory
+    into our model configs (falling back to the SD2.1 defaults for missing
+    files/keys). Note diffusers' `attention_head_dim` for SD2.x is the
+    per-level head COUNT list ([5, 10, 20, 20]) — the actual head dim is
+    channels/heads = 64."""
+    import json as _json
+
+    def read(sub):
+        p = os.path.join(model_dir, sub, "config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return _json.load(f)
+        return {}
+
+    u = read("unet")
+    C = tuple(u.get("block_out_channels", unet2d.SD21_UNET_CONFIG.block_out_channels))
+    ahd = u.get("attention_head_dim", None)
+    if ahd is None:
+        head_dim = unet2d.SD21_UNET_CONFIG.head_dim
+    else:
+        heads0 = ahd[0] if isinstance(ahd, (list, tuple)) else ahd
+        head_dim = C[0] // heads0
+    down_types = u.get("down_block_types")
+    has_attn = (
+        tuple("CrossAttn" in t for t in down_types)
+        if down_types
+        else unet2d.SD21_UNET_CONFIG.down_block_has_attn
+    )
+    unet_cfg = unet2d.UNetConfig(
+        in_channels=u.get("in_channels", 4),
+        out_channels=u.get("out_channels", 4),
+        block_out_channels=C,
+        layers_per_block=u.get("layers_per_block", 2),
+        cross_attention_dim=u.get("cross_attention_dim", 1024),
+        head_dim=head_dim,
+        norm_groups=u.get("norm_num_groups", 32),
+        down_block_has_attn=has_attn,
+        freq_shift=u.get("freq_shift", 0),
+        flip_sin_to_cos=u.get("flip_sin_to_cos", True),
+    )
+
+    v = read("vae")
+    vae_cfg = vae.VAEConfig(
+        in_channels=v.get("in_channels", 3),
+        latent_channels=v.get("latent_channels", 4),
+        block_out_channels=tuple(v.get("block_out_channels", vae.SD_VAE_CONFIG.block_out_channels)),
+        layers_per_block=v.get("layers_per_block", 2),
+        scaling_factor=v.get("scaling_factor", 0.18215),
+    )
+
+    t = read("text_encoder")
+    d = clip_text.SD21_TEXT_CONFIG
+    text_cfg = clip_text.CLIPTextConfig(
+        vocab_size=t.get("vocab_size", d.vocab_size),
+        hidden_size=t.get("hidden_size", d.hidden_size),
+        num_layers=t.get("num_hidden_layers", d.num_layers),
+        num_heads=t.get("num_attention_heads", d.num_heads),
+        intermediate_size=t.get("intermediate_size", d.intermediate_size),
+        max_positions=t.get("max_position_embeddings", 77),
+        hidden_act=t.get("hidden_act", d.hidden_act),
+    )
+    return text_cfg, unet_cfg, vae_cfg
+
+
 def load_sd21_params(model_dir: str, dtype=jnp.float32) -> dict:
     """Load a local diffusers-format SD2.1 model directory into
     {"text_encoder", "unet", "vae"} pytrees — the JAX equivalent of
@@ -495,8 +560,9 @@ def load_sd21_params(model_dir: str, dtype=jnp.float32) -> dict:
             return load_safetensors(path)
         return load_torch_pth(path)
 
+    text_cfg, unet_cfg, vae_cfg = configs_from_model_dir(model_dir)
     return {
-        "text_encoder": convert_clip_text_state_dict(load(find("text_encoder")), dtype=dtype),
-        "unet": convert_unet_state_dict(load(find("unet")), dtype=dtype),
-        "vae": convert_vae_state_dict(load(find("vae")), dtype=dtype),
+        "text_encoder": convert_clip_text_state_dict(load(find("text_encoder")), text_cfg, dtype=dtype),
+        "unet": convert_unet_state_dict(load(find("unet")), unet_cfg, dtype=dtype),
+        "vae": convert_vae_state_dict(load(find("vae")), vae_cfg, dtype=dtype),
     }

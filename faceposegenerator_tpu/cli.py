@@ -295,7 +295,124 @@ def cmd_pose(argv):
     print(json.dumps(res["global"]))
 
 
+def cmd_parity(argv):
+    """Real-checkpoint step-parity runbook (docs/PARITY.md): given a local
+    diffusers-format SD directory, run the fp32 CFG denoising loop in JAX
+    (PARITY_POLICY, injected noise) and in an independent torch mirror
+    (`bridge/torch_mirror.py`, loading the SAME safetensors), compare ε̂ at
+    EVERY denoising step plus the final VAE decode, and write a verdict
+    JSON. Executable the day weights exist; smoke-tested on random tiny
+    checkpoints in tests/test_parity_cli.py."""
+    ap = argparse.ArgumentParser(prog="parity")
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--prompt", default="face portrait photo of sks person")
+    ap.add_argument("--negative_prompt", default="")
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--guidance_scale", type=float, default=5.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tolerance", type=float, default=5e-4)
+    ap.add_argument("--output", default="parity_verdict.json")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from .bridge.torch_mirror import TUNet, TVAE
+    from .bridge.torch_weights import configs_from_model_dir, load_sd21_params, load_safetensors, load_torch_pth
+    from .core.precision import PARITY_POLICY
+    from .data.tokenizer import CLIPTokenizer
+    from .diffusion import make_ddpm
+    from .models import clip_text, unet2d, vae
+
+    text_cfg, unet_cfg, vae_cfg = configs_from_model_dir(args.model_dir)
+    params = load_sd21_params(args.model_dir)
+
+    tok_dir = os.path.join(args.model_dir, "tokenizer")
+    if os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        tok = CLIPTokenizer.from_pretrained(tok_dir)
+        ids = jnp.asarray(tok([args.prompt]))
+        neg = jnp.asarray(tok([args.negative_prompt]))
+    else:  # tokenizer-less checkpoints: deterministic ids
+        rng = np.random.default_rng(args.seed)
+        ids = jnp.asarray(rng.integers(0, text_cfg.vocab_size, (1, 77)))
+        neg = jnp.zeros_like(ids)
+
+    ctx = clip_text.apply(
+        params["text_encoder"], jnp.concatenate([neg, ids]), text_cfg, policy=PARITY_POLICY
+    )
+
+    # torch mirrors loading the SAME weight files
+    def _torch_sd(sub):
+        d = os.path.join(args.model_dir, sub)
+        for name in ("diffusion_pytorch_model.safetensors", "model.safetensors",
+                     "diffusion_pytorch_model.bin", "pytorch_model.bin"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                raw = load_safetensors(p) if p.endswith(".safetensors") else load_torch_pth(p)
+                return {k: torch.from_numpy(np.asarray(v)).float() for k, v in raw.items()}
+        raise FileNotFoundError(d)
+
+    tm_unet = TUNet(unet_cfg).eval()
+    missing, unexpected = tm_unet.load_state_dict(_torch_sd("unet"), strict=False)
+    tm_vae = TVAE(vae_cfg).eval()
+    mv, uv = tm_vae.load_state_dict(_torch_sd("vae"), strict=False)
+
+    sched = make_ddpm(num_inference_steps=args.steps)
+    h = w = args.resolution // 8
+    rng = np.random.default_rng(args.seed)
+    x = jnp.asarray(rng.standard_normal((1, h, w, 4)), jnp.float32)
+    ctx_t = torch.from_numpy(np.asarray(ctx))
+
+    eps_max = []
+    for i in range(args.steps):
+        t = sched.timesteps[i]
+        lat = jnp.concatenate([x, x])
+        eps = unet2d.apply(
+            params["unet"], lat, jnp.broadcast_to(t, (2,)), ctx, unet_cfg,
+            policy=PARITY_POLICY, attn_impl="reference",
+        )
+        with torch.no_grad():
+            lat_t = torch.from_numpy(np.asarray(lat)).permute(0, 3, 1, 2).contiguous()
+            eps_t = tm_unet(lat_t, torch.tensor([int(t)] * 2), ctx_t)
+        eps_t = eps_t.permute(0, 2, 3, 1).numpy()
+        eps_max.append(float(np.max(np.abs(np.asarray(eps) - eps_t))))
+        eu, ec = jnp.split(eps, 2)
+        guided = eu + args.guidance_scale * (ec - eu)
+        noise = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+        x, _ = sched.step(guided, i, x, noise)
+
+    img = vae.decode(params["vae"], x, vae_cfg, policy=PARITY_POLICY)
+    with torch.no_grad():
+        img_t = tm_vae.decode(torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).contiguous())
+    image_max = float(np.max(np.abs(np.asarray(img) - img_t.permute(0, 2, 3, 1).numpy())))
+
+    verdict = {
+        "model_dir": args.model_dir,
+        "steps": args.steps,
+        "eps_max_abs_per_step": eps_max,
+        "image_max_abs": image_max,
+        "unet_missing_keys": len(missing),
+        "unet_unexpected_keys": len(unexpected),
+        "vae_missing_keys": len(mv),
+        "vae_unexpected_keys": len(uv),
+        "tolerance": args.tolerance,
+        "pass": bool(
+            max(eps_max) < args.tolerance
+            and image_max < args.tolerance
+            and not missing
+            and not mv
+        ),
+    }
+    with open(args.output, "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict))
+
+
 COMMANDS = {
+    "parity": cmd_parity,
     "train-idbooth": cmd_train_idbooth,
     "generate": cmd_generate,
     "extract-embeds": cmd_extract_embeds,

@@ -1,0 +1,123 @@
+"""Smoke test for the real-checkpoint parity runbook (`cli.py parity`):
+builds a tiny random diffusers-layout model directory (unet/vae/text_encoder
+safetensors + config.json files), runs the command, and asserts the verdict
+passes — so the runbook is executable code, not prose, the day real SD2.1
+weights appear (VERDICT r1 #10; docs/PARITY.md)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+from safetensors.numpy import save_file
+
+from faceposegenerator_tpu.bridge.torch_mirror import TUNet, TVAE
+from faceposegenerator_tpu.cli import main
+from faceposegenerator_tpu.models import unet2d, vae
+
+
+def _write_tiny_model_dir(root):
+    torch.manual_seed(0)
+    unet_cfg = unet2d.UNetConfig(
+        block_out_channels=(32, 64, 64, 64), cross_attention_dim=32, head_dim=8
+    )
+    vae_cfg = vae.VAEConfig(block_out_channels=(32, 32, 32, 32))
+
+    os.makedirs(os.path.join(root, "unet"))
+    os.makedirs(os.path.join(root, "vae"))
+    os.makedirs(os.path.join(root, "text_encoder"))
+
+    tm = TUNet(unet_cfg)
+    save_file(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()},
+        os.path.join(root, "unet", "diffusion_pytorch_model.safetensors"),
+    )
+    with open(os.path.join(root, "unet", "config.json"), "w") as f:
+        json.dump(
+            {
+                "block_out_channels": list(unet_cfg.block_out_channels),
+                "cross_attention_dim": 32,
+                # diffusers stores per-level HEAD COUNTS here for SD2.x
+                "attention_head_dim": [c // 8 for c in unet_cfg.block_out_channels],
+                "layers_per_block": 2,
+                "in_channels": 4,
+                "out_channels": 4,
+                "norm_num_groups": 32,
+                "down_block_types": [
+                    "CrossAttnDownBlock2D",
+                    "CrossAttnDownBlock2D",
+                    "CrossAttnDownBlock2D",
+                    "DownBlock2D",
+                ],
+            },
+            f,
+        )
+
+    tv = TVAE(vae_cfg)
+    save_file(
+        {k: v.detach().numpy() for k, v in tv.state_dict().items()},
+        os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"),
+    )
+    with open(os.path.join(root, "vae", "config.json"), "w") as f:
+        json.dump(
+            {
+                "block_out_channels": list(vae_cfg.block_out_channels),
+                "latent_channels": 4,
+                "layers_per_block": 2,
+                "scaling_factor": 0.18215,
+            },
+            f,
+        )
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=77,
+        hidden_act="gelu",
+    )
+    te = transformers.CLIPTextModel(hf_cfg).eval()
+    save_file(
+        {k: v.detach().numpy() for k, v in te.state_dict().items()},
+        os.path.join(root, "text_encoder", "model.safetensors"),
+    )
+    with open(os.path.join(root, "text_encoder", "config.json"), "w") as f:
+        json.dump(
+            {
+                "vocab_size": 128,
+                "hidden_size": 32,
+                "num_hidden_layers": 2,
+                "num_attention_heads": 4,
+                "intermediate_size": 64,
+                "max_position_embeddings": 77,
+                "hidden_act": "gelu",
+            },
+            f,
+        )
+
+
+def test_parity_command_passes_on_tiny_random_checkpoint(tmp_path):
+    model_dir = str(tmp_path / "sd")
+    _write_tiny_model_dir(model_dir)
+    out = str(tmp_path / "verdict.json")
+    rc = main(
+        [
+            "parity",
+            "--model_dir", model_dir,
+            "--steps", "3",
+            "--resolution", "64",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    verdict = json.load(open(out))
+    assert verdict["pass"] is True, verdict
+    assert len(verdict["eps_max_abs_per_step"]) == 3
+    assert max(verdict["eps_max_abs_per_step"]) < 5e-4
+    assert verdict["image_max_abs"] < 5e-4
+    assert verdict["unet_missing_keys"] == 0 and verdict["vae_missing_keys"] == 0

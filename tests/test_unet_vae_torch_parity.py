@@ -38,334 +38,13 @@ torch.manual_seed(0)
 # ---------------------------------------------------------------------------
 
 
-class TResnetBlock(nn.Module):
-    def __init__(self, cin, cout, temb_dim=None, eps=1e-5, groups=32):
-        super().__init__()
-        self.norm1 = nn.GroupNorm(groups, cin, eps=eps)
-        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
-        if temb_dim is not None:
-            self.time_emb_proj = nn.Linear(temb_dim, cout)
-        self.norm2 = nn.GroupNorm(groups, cout, eps=eps)
-        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
-        if cin != cout:
-            self.conv_shortcut = nn.Conv2d(cin, cout, 1)
-
-    def forward(self, x, temb=None):
-        h = self.conv1(F.silu(self.norm1(x)))
-        if temb is not None:
-            h = h + self.time_emb_proj(F.silu(temb))[:, :, None, None]
-        h = self.conv2(F.silu(self.norm2(h)))
-        if hasattr(self, "conv_shortcut"):
-            x = self.conv_shortcut(x)
-        return x + h
-
-
-class TAttention(nn.Module):
-    def __init__(self, dim, ctx_dim, head_dim):
-        super().__init__()
-        self.heads = dim // head_dim
-        self.head_dim = head_dim
-        self.to_q = nn.Linear(dim, dim, bias=False)
-        self.to_k = nn.Linear(ctx_dim, dim, bias=False)
-        self.to_v = nn.Linear(ctx_dim, dim, bias=False)
-        self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
-
-    def forward(self, x, ctx=None):
-        ctx = x if ctx is None else ctx
-        b, s, c = x.shape
-        q = self.to_q(x).view(b, s, self.heads, self.head_dim).transpose(1, 2)
-        k = self.to_k(ctx).view(b, ctx.shape[1], self.heads, self.head_dim).transpose(1, 2)
-        v = self.to_v(ctx).view(b, ctx.shape[1], self.heads, self.head_dim).transpose(1, 2)
-        attn = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(self.head_dim), dim=-1)
-        o = (attn @ v).transpose(1, 2).reshape(b, s, c)
-        return self.to_out[0](o)
-
-
-class TGEGLU(nn.Module):
-    def __init__(self, dim, inner):
-        super().__init__()
-        self.proj = nn.Linear(dim, inner * 2)
-
-    def forward(self, x):
-        h, gate = self.proj(x).chunk(2, dim=-1)
-        return h * F.gelu(gate)
-
-
-class TFeedForward(nn.Module):
-    def __init__(self, dim):
-        super().__init__()
-        self.net = nn.ModuleList([TGEGLU(dim, dim * 4), nn.Identity(), nn.Linear(dim * 4, dim)])
-
-    def forward(self, x):
-        for m in self.net:
-            x = m(x)
-        return x
-
-
-class TBasicTransformerBlock(nn.Module):
-    def __init__(self, dim, ctx_dim, head_dim):
-        super().__init__()
-        self.norm1 = nn.LayerNorm(dim)
-        self.attn1 = TAttention(dim, dim, head_dim)
-        self.norm2 = nn.LayerNorm(dim)
-        self.attn2 = TAttention(dim, ctx_dim, head_dim)
-        self.norm3 = nn.LayerNorm(dim)
-        self.ff = TFeedForward(dim)
-
-    def forward(self, x, ctx):
-        x = x + self.attn1(self.norm1(x))
-        x = x + self.attn2(self.norm2(x), ctx)
-        return x + self.ff(self.norm3(x))
-
-
-class TTransformer2D(nn.Module):
-    """use_linear_projection=True variant (SD2.1)."""
-
-    def __init__(self, dim, ctx_dim, head_dim, n_blocks=1, groups=32):
-        super().__init__()
-        self.norm = nn.GroupNorm(groups, dim, eps=1e-6)
-        self.proj_in = nn.Linear(dim, dim)
-        self.transformer_blocks = nn.ModuleList(
-            [TBasicTransformerBlock(dim, ctx_dim, head_dim) for _ in range(n_blocks)]
-        )
-        self.proj_out = nn.Linear(dim, dim)
-
-    def forward(self, x, ctx):
-        b, c, hh, ww = x.shape
-        res = x
-        h = self.norm(x).permute(0, 2, 3, 1).reshape(b, hh * ww, c)
-        h = self.proj_in(h)
-        for blk in self.transformer_blocks:
-            h = blk(h, ctx)
-        h = self.proj_out(h)
-        return res + h.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
-
-
-class TDownsample(nn.Module):
-    def __init__(self, c, asymmetric=False):
-        super().__init__()
-        self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0 if asymmetric else 1)
-        self.asymmetric = asymmetric
-
-    def forward(self, x):
-        if self.asymmetric:  # diffusers VAE Downsample2D pads (0,1,0,1)
-            x = F.pad(x, (0, 1, 0, 1))
-        return self.conv(x)
-
-
-class TUpsample(nn.Module):
-    def __init__(self, c):
-        super().__init__()
-        self.conv = nn.Conv2d(c, c, 3, padding=1)
-
-    def forward(self, x):
-        return self.conv(F.interpolate(x, scale_factor=2, mode="nearest"))
-
-
-class _Holder(nn.Module):
-    """Bare module used to get dotted names like `downsamplers.0.conv`."""
-
-
-def _timesteps_embed(t, dim, flip_sin_to_cos=True, freq_shift=0):
-    half = dim // 2
-    exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32)
-    exponent = exponent / (half - freq_shift)
-    emb = t.float()[:, None] * torch.exp(exponent)[None, :]
-    sin, cos = torch.sin(emb), torch.cos(emb)
-    return torch.cat([cos, sin] if flip_sin_to_cos else [sin, cos], dim=-1)
-
-
-class TUNet(nn.Module):
-    """Mirror of diffusers UNet2DConditionModel for our UNetConfig subset."""
-
-    def __init__(self, cfg: unet2d.UNetConfig):
-        super().__init__()
-        self.cfg = cfg
-        C = list(cfg.block_out_channels)
-        temb = cfg.time_embed_dim
-        g = cfg.norm_groups
-        self.conv_in = nn.Conv2d(cfg.in_channels, C[0], 3, padding=1)
-        self.time_embedding = _Holder()
-        self.time_embedding.linear_1 = nn.Linear(C[0], temb)
-        self.time_embedding.linear_2 = nn.Linear(temb, temb)
-
-        self.down_blocks = nn.ModuleList()
-        cin = C[0]
-        for lvl, cout in enumerate(C):
-            blk = _Holder()
-            blk.resnets = nn.ModuleList(
-                [TResnetBlock(cin if j == 0 else cout, cout, temb, groups=g) for j in range(cfg.layers_per_block)]
-            )
-            if cfg.down_block_has_attn[lvl]:
-                blk.attentions = nn.ModuleList(
-                    [TTransformer2D(cout, cfg.cross_attention_dim, cfg.head_dim, cfg.transformer_layers, g)
-                     for _ in range(cfg.layers_per_block)]
-                )
-            if lvl < len(C) - 1:
-                blk.downsamplers = nn.ModuleList([TDownsample(cout)])
-            self.down_blocks.append(blk)
-            cin = cout
-
-        self.mid_block = _Holder()
-        self.mid_block.resnets = nn.ModuleList(
-            [TResnetBlock(C[-1], C[-1], temb, groups=g), TResnetBlock(C[-1], C[-1], temb, groups=g)]
-        )
-        self.mid_block.attentions = nn.ModuleList(
-            [TTransformer2D(C[-1], cfg.cross_attention_dim, cfg.head_dim, cfg.transformer_layers, g)]
-        )
-
-        rev = list(reversed(C))
-        has_attn_rev = list(reversed(cfg.down_block_has_attn))
-        self.up_blocks = nn.ModuleList()
-        prev_out = C[-1]
-        for lvl, cout in enumerate(rev):
-            blk = _Holder()
-            blk.resnets = nn.ModuleList()
-            for j in range(cfg.layers_per_block + 1):
-                res_skip = rev[min(lvl + 1, len(rev) - 1)] if j == cfg.layers_per_block else cout
-                rin = prev_out if j == 0 else cout
-                blk.resnets.append(TResnetBlock(rin + res_skip, cout, temb, groups=g))
-            if has_attn_rev[lvl]:
-                blk.attentions = nn.ModuleList(
-                    [TTransformer2D(cout, cfg.cross_attention_dim, cfg.head_dim, cfg.transformer_layers, g)
-                     for _ in range(cfg.layers_per_block + 1)]
-                )
-            if lvl < len(rev) - 1:
-                blk.upsamplers = nn.ModuleList([TUpsample(cout)])
-            self.up_blocks.append(blk)
-            prev_out = cout
-
-        self.conv_norm_out = nn.GroupNorm(g, C[0], eps=1e-5)
-        self.conv_out = nn.Conv2d(C[0], cfg.out_channels, 3, padding=1)
-
-    def forward(self, latents, t, ctx):
-        cfg = self.cfg
-        temb = _timesteps_embed(t, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
-        temb = self.time_embedding.linear_2(F.silu(self.time_embedding.linear_1(temb)))
-        x = self.conv_in(latents)
-        skips = [x]
-        for blk in self.down_blocks:
-            for j, rp in enumerate(blk.resnets):
-                x = rp(x, temb)
-                if hasattr(blk, "attentions"):
-                    x = blk.attentions[j](x, ctx)
-                skips.append(x)
-            if hasattr(blk, "downsamplers"):
-                x = blk.downsamplers[0](x)
-                skips.append(x)
-        x = self.mid_block.resnets[0](x, temb)
-        x = self.mid_block.attentions[0](x, ctx)
-        x = self.mid_block.resnets[1](x, temb)
-        for blk in self.up_blocks:
-            for j, rp in enumerate(blk.resnets):
-                x = rp(torch.cat([x, skips.pop()], dim=1), temb)
-                if hasattr(blk, "attentions"):
-                    x = blk.attentions[j](x, ctx)
-            if hasattr(blk, "upsamplers"):
-                x = blk.upsamplers[0](x)
-        return self.conv_out(F.silu(self.conv_norm_out(x)))
-
-
-class TVAEAttn(nn.Module):
-    def __init__(self, c):
-        super().__init__()
-        self.group_norm = nn.GroupNorm(32, c, eps=1e-6)
-        self.to_q = nn.Linear(c, c)
-        self.to_k = nn.Linear(c, c)
-        self.to_v = nn.Linear(c, c)
-        self.to_out = nn.ModuleList([nn.Linear(c, c)])
-
-    def forward(self, x):
-        b, c, hh, ww = x.shape
-        h = self.group_norm(x).permute(0, 2, 3, 1).reshape(b, hh * ww, c)
-        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
-        attn = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(c), dim=-1)
-        o = self.to_out[0](attn @ v)
-        return x + o.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
-
-
-class TVAE(nn.Module):
-    def __init__(self, cfg: vae.VAEConfig):
-        super().__init__()
-        C = list(cfg.block_out_channels)
-        enc = _Holder()
-        enc.conv_in = nn.Conv2d(cfg.in_channels, C[0], 3, padding=1)
-        enc.down_blocks = nn.ModuleList()
-        cin = C[0]
-        for lvl, cout in enumerate(C):
-            blk = _Holder()
-            blk.resnets = nn.ModuleList(
-                [TResnetBlock(cin if j == 0 else cout, cout, None, eps=1e-6) for j in range(cfg.layers_per_block)]
-            )
-            if lvl < len(C) - 1:
-                blk.downsamplers = nn.ModuleList([TDownsample(cout, asymmetric=True)])
-            enc.down_blocks.append(blk)
-            cin = cout
-        enc.mid_block = _Holder()
-        enc.mid_block.resnets = nn.ModuleList(
-            [TResnetBlock(C[-1], C[-1], None, eps=1e-6), TResnetBlock(C[-1], C[-1], None, eps=1e-6)]
-        )
-        enc.mid_block.attentions = nn.ModuleList([TVAEAttn(C[-1])])
-        enc.conv_norm_out = nn.GroupNorm(32, C[-1], eps=1e-6)
-        enc.conv_out = nn.Conv2d(C[-1], 2 * cfg.latent_channels, 3, padding=1)
-        self.encoder = enc
-
-        rev = list(reversed(C))
-        dec = _Holder()
-        dec.conv_in = nn.Conv2d(cfg.latent_channels, rev[0], 3, padding=1)
-        dec.mid_block = _Holder()
-        dec.mid_block.resnets = nn.ModuleList(
-            [TResnetBlock(rev[0], rev[0], None, eps=1e-6), TResnetBlock(rev[0], rev[0], None, eps=1e-6)]
-        )
-        dec.mid_block.attentions = nn.ModuleList([TVAEAttn(rev[0])])
-        dec.up_blocks = nn.ModuleList()
-        cin = rev[0]
-        for lvl, cout in enumerate(rev):
-            blk = _Holder()
-            blk.resnets = nn.ModuleList(
-                [TResnetBlock(cin if j == 0 else cout, cout, None, eps=1e-6) for j in range(cfg.layers_per_block + 1)]
-            )
-            if lvl < len(rev) - 1:
-                blk.upsamplers = nn.ModuleList([TUpsample(cout)])
-            dec.up_blocks.append(blk)
-            cin = cout
-        dec.conv_norm_out = nn.GroupNorm(32, C[0], eps=1e-6)
-        dec.conv_out = nn.Conv2d(C[0], cfg.in_channels, 3, padding=1)
-        self.decoder = dec
-
-        self.quant_conv = nn.Conv2d(2 * cfg.latent_channels, 2 * cfg.latent_channels, 1)
-        self.post_quant_conv = nn.Conv2d(cfg.latent_channels, cfg.latent_channels, 1)
-        self.cfg = cfg
-
-    def encode_moments(self, images):
-        e = self.encoder
-        x = e.conv_in(images)
-        for blk in e.down_blocks:
-            for rp in blk.resnets:
-                x = rp(x)
-            if hasattr(blk, "downsamplers"):
-                x = blk.downsamplers[0](x)
-        x = e.mid_block.resnets[0](x)
-        x = e.mid_block.attentions[0](x)
-        x = e.mid_block.resnets[1](x)
-        x = e.conv_out(F.silu(e.conv_norm_out(x)))
-        x = self.quant_conv(x)
-        mean, logvar = x.chunk(2, dim=1)
-        return mean, torch.clamp(logvar, -30.0, 20.0)
-
-    def decode(self, latents):
-        d = self.decoder
-        x = self.post_quant_conv(latents / self.cfg.scaling_factor)
-        x = d.conv_in(x)
-        x = d.mid_block.resnets[0](x)
-        x = d.mid_block.attentions[0](x)
-        x = d.mid_block.resnets[1](x)
-        for blk in d.up_blocks:
-            for rp in blk.resnets:
-                x = rp(x)
-            if hasattr(blk, "upsamplers"):
-                x = blk.upsamplers[0](x)
-        return d.conv_out(F.silu(d.conv_norm_out(x)))
+from faceposegenerator_tpu.bridge.torch_mirror import (
+    TResnetBlock,
+    TTransformer2D,
+    TUNet,
+    TVAE,
+    TVAEAttn,
+)
 
 
 def _sd_numpy(model):
