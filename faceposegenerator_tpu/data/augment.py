@@ -9,7 +9,8 @@ with `FR_config.py:47`): "hf" (horizontal flip p=0.5) and "ra_n_m"
 
 from __future__ import annotations
 
-from typing import Callable, List
+import os
+from typing import Callable, List, Optional
 
 import numpy as np
 
@@ -151,7 +152,7 @@ def gaussian_blur(sigma_range=(0.1, 2.0), p: float = 0.5):
     return apply
 
 
-def get_aug_policy(name: str) -> Callable:
+def get_aug_policy(name: str, faa_file: Optional[str] = None) -> Callable:
     """Dispatcher mirroring `get_conventional_aug_policy`: "hf", "ra_4_16",
     "gan" (hf alias), "hf+ra_4_16"."""
     name = name.lower()
@@ -174,11 +175,145 @@ def get_aug_policy(name: str) -> Callable:
         return blur_hf
     if name.startswith("faa"):
         # FastAutoAugment policy tables (`FR_training/utils/FAA_policy.py`,
-        # 2.4k LoC of tuned tuples) are dataset-specific artifacts never
-        # selected by the live configs; load them from the original file if
-        # genuinely needed.
-        raise NotImplementedError(
-            "FAA policies are data artifacts not bundled here; use 'hf', "
-            "'ra_N_M', or 'blur'"
-        )
+        # 2.4k LoC of tuned tuples) are dataset-specific artifacts not
+        # bundled here; a loader shim parses them out of the original file
+        # (point FAA_POLICY_FILE or the faa_file kwarg at it).
+        path = faa_file or os.environ.get("FAA_POLICY_FILE")
+        if not path:
+            raise NotImplementedError(
+                "FAA policies are data artifacts not bundled here; pass "
+                "faa_file=/path/to/FAA_policy.py (or set FAA_POLICY_FILE), "
+                "or use 'hf', 'ra_N_M', 'blur'"
+            )
+        which = "casia" if "casia" in name else "imgnet"
+        policies = load_faa_policies(path, which)
+        faa = faa_augment(policies)
+
+        def faa_hf(img, rng):
+            # reference order: flip + FAA (`augmentation.py:75-85`)
+            return faa(horizontal_flip(img, rng), rng)
+
+        return faa_hf
     raise ValueError(f"unknown augmentation policy {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# FastAutoAugment shim: parse the reference's policy tables, apply with our
+# PIL op set (`FR_training/utils/FAA_policy.py` Augmentation.__call__
+# semantics: pick ONE random subpolicy; apply each (name, pr, level) op with
+# probability pr at level∈[0,1] linearly mapped onto the AutoAugment ranges,
+# `augment_list:197-222`; geometric ops mirror sign with prob 0.5).
+# ---------------------------------------------------------------------------
+
+# (low, high) AutoAugment ranges — published constants (category (b))
+_FAA_RANGES = {
+    "ShearX": (-0.3, 0.3),
+    "ShearY": (-0.3, 0.3),
+    "TranslateX": (-0.45, 0.45),
+    "TranslateY": (-0.45, 0.45),
+    "TranslateXAbs": (0.0, 10.0),
+    "TranslateYAbs": (0.0, 10.0),
+    "Rotate": (-30.0, 30.0),
+    "AutoContrast": (0.0, 1.0),
+    "Invert": (0.0, 1.0),
+    "Equalize": (0.0, 1.0),
+    "Solarize": (0.0, 256.0),
+    "Posterize": (4.0, 8.0),
+    "Posterize2": (0.0, 4.0),
+    "Contrast": (0.1, 1.9),
+    "Color": (0.1, 1.9),
+    "Brightness": (0.1, 1.9),
+    "Sharpness": (0.1, 1.9),
+    "Cutout": (0.0, 0.2),
+    "CutoutAbs": (0.0, 20.0),
+}
+_FAA_MIRRORED = {"ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+                 "TranslateXAbs", "TranslateYAbs"}
+
+
+def load_faa_policies(path: str, which: str = "casia"):
+    """Extract the policy table literals (`iresnet50_casia_policies` /
+    `fa_resnet50_rimagenet`) from an FAA_policy.py file without importing
+    it. Returns a list of subpolicies: [[(op, prob, level), ...], ...]."""
+    import ast
+
+    target = "iresnet50_casia_policies" if which == "casia" else "fa_resnet50_rimagenet"
+    tree = ast.parse(open(path).read())
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == target for t in node.targets
+        ):
+            return ast.literal_eval(node.value)
+    raise ValueError(f"{target!r} not found in {path}")
+
+
+def _faa_apply_one(img, name: str, level: float, rng: np.random.Generator):
+    from PIL import Image, ImageEnhance, ImageOps
+
+    lo, hi = _FAA_RANGES[name]
+    v = level * (hi - lo) + lo
+    if name in _FAA_MIRRORED and rng.random() > 0.5:
+        v = -v
+    pil = _pil(img)
+    w, h = pil.size
+    if name == "ShearX":
+        out = pil.transform(pil.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
+    elif name == "ShearY":
+        out = pil.transform(pil.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
+    elif name == "TranslateX":
+        out = pil.transform(pil.size, Image.AFFINE, (1, 0, v * w, 0, 1, 0))
+    elif name == "TranslateY":
+        out = pil.transform(pil.size, Image.AFFINE, (1, 0, 0, 0, 1, v * h))
+    elif name == "TranslateXAbs":
+        out = pil.transform(pil.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
+    elif name == "TranslateYAbs":
+        out = pil.transform(pil.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
+    elif name == "Rotate":
+        out = pil.rotate(v)
+    elif name == "AutoContrast":
+        out = ImageOps.autocontrast(pil)
+    elif name == "Invert":
+        out = ImageOps.invert(pil)
+    elif name == "Equalize":
+        out = ImageOps.equalize(pil)
+    elif name == "Solarize":
+        out = ImageOps.solarize(pil, int(v))
+    elif name == "Posterize":
+        out = ImageOps.posterize(pil, max(1, int(v)))
+    elif name == "Posterize2":
+        out = ImageOps.posterize(pil, max(1, int(v)))
+    elif name == "Contrast":
+        out = ImageEnhance.Contrast(pil).enhance(v)
+    elif name == "Color":
+        out = ImageEnhance.Color(pil).enhance(v)
+    elif name == "Brightness":
+        out = ImageEnhance.Brightness(pil).enhance(v)
+    elif name == "Sharpness":
+        out = ImageEnhance.Sharpness(pil).enhance(v)
+    elif name in ("Cutout", "CutoutAbs"):
+        size = int(abs(v) * min(w, h)) if name == "Cutout" else int(abs(v))
+        if size > 0:
+            x0 = int(rng.integers(0, max(1, w - size)))
+            y0 = int(rng.integers(0, max(1, h - size)))
+            arr = _np(pil).copy()
+            arr[y0 : y0 + size, x0 : x0 + size] = 125  # FAA gray fill
+            out = _pil(arr)
+        else:
+            out = pil
+    else:
+        raise ValueError(f"unknown FAA op {name!r}")
+    return _np(out)
+
+
+def faa_augment(policies) -> Callable:
+    """Policy applier mirroring `Augmentation.__call__` (FAA_policy.py:27-38)."""
+
+    def apply(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        sub = policies[int(rng.integers(0, len(policies)))]
+        for op_name, pr, level in sub:
+            if rng.random() > pr:
+                continue
+            img = _faa_apply_one(img, op_name, float(level), rng)
+        return img
+
+    return apply

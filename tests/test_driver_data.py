@@ -179,3 +179,53 @@ def test_logging_utils():
     nan_check({"x": np.ones(3)})
     with pytest.raises(FloatingPointError):
         nan_check({"x": np.array([np.nan])})
+
+
+def test_faa_policy_shim(tmp_path):
+    """FAA loader shim: parses the policy table literals out of an
+    FAA_policy.py file (no import) and applies the reference's
+    one-random-subpolicy semantics with the AutoAugment op ranges."""
+    import numpy as np
+
+    from faceposegenerator_tpu.data.augment import (
+        faa_augment,
+        get_aug_policy,
+        load_faa_policies,
+    )
+
+    faa_file = tmp_path / "FAA_policy.py"
+    faa_file.write_text(
+        "import random\n"
+        "iresnet50_casia_policies = [\n"
+        "    [('Rotate', 1.0, 0.8), ('Brightness', 1.0, 0.7)],\n"
+        "    [('ShearX', 0.5, 0.3)],\n"
+        "]\n"
+        "fa_resnet50_rimagenet = [[('Equalize', 1.0, 0.5)]]\n"
+    )
+    pol = load_faa_policies(str(faa_file), "casia")
+    assert len(pol) == 2 and pol[0][0] == ("Rotate", 1.0, 0.8)
+
+    img = np.tile(np.arange(64, dtype=np.uint8)[:, None, None], (1, 64, 3))
+    rng = np.random.default_rng(0)
+    out = faa_augment(pol)(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    fn = get_aug_policy("faa_casia", faa_file=str(faa_file))
+    out2 = fn(img, np.random.default_rng(1))
+    assert out2.shape == img.shape
+
+    # still refuses without a file
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        get_aug_policy("faa_casia")
+
+    # and parses the REAL reference table when present
+    import os
+
+    ref = "/root/reference/FR_training/utils/FAA_policy.py"
+    if os.path.exists(ref):
+        real = load_faa_policies(ref, "casia")
+        assert len(real) >= 50  # casia table has 50 subpolicies
+        out3 = faa_augment(real)(img, np.random.default_rng(2))
+        assert out3.shape == img.shape
