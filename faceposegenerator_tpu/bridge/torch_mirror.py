@@ -351,3 +351,170 @@ class TVAE(nn.Module):
         return d.conv_out(F.silu(d.conv_norm_out(x)))
 
 
+
+
+# ---------------------------------------------------------------------------
+# FID InceptionV3 mirror (pytorch-fid/torchvision key layout) — oracle for
+# models/inception_v3.py and loader for real pt_inception checkpoints
+# ---------------------------------------------------------------------------
+
+
+class TBasicConv2d(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)), inplace=True)
+
+
+def _avg_excl(x):
+    return F.avg_pool2d(x, kernel_size=3, stride=1, padding=1, count_include_pad=False)
+
+
+class TInceptionA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(cin, 64, kernel_size=1)
+        self.branch5x5_1 = TBasicConv2d(cin, 48, kernel_size=1)
+        self.branch5x5_2 = TBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TBasicConv2d(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        return torch.cat(
+            [
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(_avg_excl(x)),
+            ],
+            1,
+        )
+
+
+class TInceptionB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBasicConv2d(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat(
+            [
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, kernel_size=3, stride=2),
+            ],
+            1,
+        )
+
+
+class TInceptionC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7_1 = TBasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(
+            self.branch7x7dbl_4(self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x))))
+        )
+        return torch.cat(
+            [self.branch1x1(x), b7, bd, self.branch_pool(_avg_excl(x))], 1
+        )
+
+
+class TInceptionD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv2d(cin, 192, kernel_size=1)
+        self.branch3x3_2 = TBasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = TBasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = TBasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, kernel_size=3, stride=2)], 1)
+
+
+class TInceptionE(nn.Module):
+    def __init__(self, cin, pool="avg"):
+        super().__init__()
+        self.pool = pool
+        self.branch1x1 = TBasicConv2d(cin, 320, kernel_size=1)
+        self.branch3x3_1 = TBasicConv2d(cin, 384, kernel_size=1)
+        self.branch3x3_2a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv2d(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool == "max":  # FIDInceptionE_2 patch
+            bp = F.max_pool2d(x, kernel_size=3, stride=1, padding=1)
+        else:
+            bp = _avg_excl(x)
+        return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class TInceptionV3(nn.Module):
+    """FID InceptionV3 feature extractor (2048-d final-avgpool features)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280, pool="avg")
+        self.Mixed_7c = TInceptionE(2048, pool="max")
+
+    def forward(self, x, normalize_input=True):
+        if normalize_input:
+            x = 2 * x - 1
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        for m in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d, self.Mixed_6a,
+                  self.Mixed_6b, self.Mixed_6c, self.Mixed_6d, self.Mixed_6e,
+                  self.Mixed_7a, self.Mixed_7b, self.Mixed_7c):
+            x = m(x)
+        return x.mean(dim=(2, 3))

@@ -566,3 +566,36 @@ def load_sd21_params(model_dir: str, dtype=jnp.float32) -> dict:
         "unet": convert_unet_state_dict(load(find("unet")), unet_cfg, dtype=dtype),
         "vae": convert_vae_state_dict(load(find("vae")), vae_cfg, dtype=dtype),
     }
+
+
+def convert_inception_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.float32):
+    """pytorch-fid / torchvision InceptionV3 state dict →
+    `models/inception_v3.py` pytree. Each BasicConv2d unit becomes
+    {w (HWIO), g, b, mean, var}; the classifier fc (absent from the feature
+    path) is ignored."""
+    units: Dict[str, dict] = {}
+    for k, v in sd.items():
+        if not (k.endswith(".conv.weight") or ".bn." in k):
+            continue
+        prefix = k.rsplit(".conv.weight", 1)[0] if k.endswith(".conv.weight") else k.split(".bn.")[0]
+        u = units.setdefault(prefix, {})
+        arr = np.asarray(v)
+        if k.endswith(".conv.weight"):
+            u["w"] = jnp.asarray(arr.transpose(2, 3, 1, 0), dtype)
+        elif k.endswith(".bn.weight"):
+            u["g"] = jnp.asarray(arr, dtype)
+        elif k.endswith(".bn.bias"):
+            u["b"] = jnp.asarray(arr, dtype)
+        elif k.endswith(".bn.running_mean"):
+            u["mean"] = jnp.asarray(arr, dtype)
+        elif k.endswith(".bn.running_var"):
+            u["var"] = jnp.asarray(arr, dtype)
+
+    params: Dict = {}
+    for prefix, u in units.items():
+        parts = prefix.split(".")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = u
+    return params

@@ -333,3 +333,39 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _inception_encoder(weights_path: Optional[str] = None, **kw):
+    """The dgm-eval registry default: FID InceptionV3 2048-d final-avgpool
+    features over [0,1] inputs bilinear-resized to 299² then scaled to
+    [-1,1] (`dgm_eval/models/inception.py:161-186`). Weights: a pytorch-fid
+    `pt_inception` checkpoint (or torchvision inception state dict); random
+    init fallback keeps the pipeline runnable offline."""
+    import jax
+
+    from ..models import inception_v3
+
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_inception_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        params = convert_inception_state_dict(loader(weights_path))
+    else:
+        params = inception_v3.init(jax.random.key(0))
+
+    @jax.jit
+    def fwd(x):
+        return inception_v3.apply(params, x)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        x = np.asarray(batch, np.float32) / 255.0
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+register_encoder("inception", _inception_encoder)
