@@ -284,7 +284,13 @@ def _resblock_apply(p, x, temb, policy: Policy, num_groups: int = 32):
 
 
 def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="auto", kv_len=None):
-    """x: (B, S, C) queries; ctx: (B, Skv, Cctx) keys/values."""
+    """x: (B, S, C) queries; ctx: (B, Skv, Cctx) keys/values.
+
+    Self-attention (ctx is x) fuses the q/k/v projections into ONE GEMM: the
+    weight concat is loop-invariant so XLA hoists it out of the sampling
+    fori_loop, and one (S, C)×(C, 3C) dot replaces three (S, C)×(C, C) dots
+    (larger N → better MXU tiling, one read of the activations). LoRA deltas
+    stay factored per-projection (rank-4 matmuls are negligible)."""
     b, s, c = x.shape
     nh = c // head_dim
 
@@ -297,9 +303,31 @@ def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="
             scale=lora_scale,
         )
 
-    q = proj("q", x).reshape(b, s, nh, head_dim)
-    k = proj("k", ctx).reshape(b, ctx.shape[1], nh, head_dim)
-    v = proj("v", ctx).reshape(b, ctx.shape[1], nh, head_dim)
+    if ctx is x:
+        wqkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=0)
+        qkv = jnp.einsum(
+            "...i,oi->...o", x, wqkv.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if lora is not None:
+
+            def delta(name, base):
+                la = lora.get(name)
+                if la is None:
+                    return base
+                h = jnp.einsum("...i,ri->...r", x, la["a"].astype(x.dtype))
+                d = jnp.einsum("...r,or->...o", h, la["b"].astype(x.dtype))
+                return base + lora_scale * d
+
+            q, k, v = delta("q", q), delta("k", k), delta("v", v)
+        q = q.reshape(b, s, nh, head_dim)
+        k = k.reshape(b, s, nh, head_dim)
+        v = v.reshape(b, s, nh, head_dim)
+    else:
+        q = proj("q", x).reshape(b, s, nh, head_dim)
+        k = proj("k", ctx).reshape(b, ctx.shape[1], nh, head_dim)
+        v = proj("v", ctx).reshape(b, ctx.shape[1], nh, head_dim)
     o = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len).reshape(b, s, c)
     return proj("out", o)
 

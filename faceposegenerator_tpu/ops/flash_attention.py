@@ -40,7 +40,9 @@ NEG_INF = -1e30
 # profiling is unavailable and each measurement is a full bench run)
 import os as _os
 
-DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "512"))
+# measured on v5e (512² SD2.1 bs16 sampling, 2026-08-16): 512/1024 → 1.85,
+# 512/2048 → 1.82, 1024/1024 → 1.90 img/s end-to-end
+DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "1024"))
 DEFAULT_BLOCK_K = int(_os.environ.get("FLASH_BLOCK_K", "1024"))
 _BF16_EXP = _os.environ.get("FLASH_BF16_EXP", "0") == "1"
 # FLASH_IMPL=official routes packed self-attention through
@@ -51,16 +53,18 @@ _IMPL = _os.environ.get("FLASH_IMPL", "own")
 
 
 def flash_supported(q, k, v) -> bool:
-    """Flash path auto-selects on TPU for fp32/bf16 inputs with lane-aligned
-    head dims. Measured on v5e (512² SD2.1 sampling, 2025-08): at head_dim
-    64 XLA's fused attention beats this kernel (1.36 vs 1.04 img/s) because
-    the 64-wide head pads to 128 lanes; route those to XLA and keep flash
-    for ≥128 head dims / long sequences. `impl="flash"` still forces it."""
+    """Flash path auto-selects on TPU for fp32/bf16 inputs when the head dim
+    is lane-aligned (d % 128 == 0, plain kernel) or packs two-per-lane-block
+    (d == 64, packed kernel). Measured on v5e (512² SD2.1 bs16 sampling,
+    2026-08): packed flash 1.90 img/s vs XLA 1.81 at head_dim 64 — the
+    round-1 auto-route to XLA is obsolete. `impl="reference"` still forces
+    the einsum path."""
     if pltpu is None:
         return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    if q.shape[-1] % 128 != 0:
+    d = q.shape[-1]
+    if d % 128 != 0 and d * 2 != 128:
         return False
     return jax.default_backend() == "tpu"
 
@@ -307,7 +311,9 @@ def _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret):
             k = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, 1), (0, 0)))
         q = (q * jnp.asarray(scale, q.dtype)) if scale != 1.0 else q  # fold scale
-        if _IMPL == "official" and kv_len is None and not interpret:
+        if _IMPL == "official" and kv_len is None and skv >= 256 and not interpret:
+            # the upstream kernel requires kv_seq_len >= its block sizes;
+            # short-KV (77-token cross) stays on the in-house packed kernel
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention as _official,
             )
