@@ -599,3 +599,54 @@ def convert_inception_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.float32):
             node = node.setdefault(p, {})
         node[parts[-1]] = u
     return params
+
+
+def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.float32):
+    """`transformers.CLIPVisionModel` state dict → `models/clip_vision.py`
+    pytree (accepts keys with or without the `vision_model.` prefix; the HF
+    pre-layernorm key is spelled `pre_layrnorm`)."""
+    pre = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+
+    def arr(k):
+        return np.asarray(sd[pre + k])
+
+    n_layers = 1 + max(
+        int(m.group(1))
+        for m in (re.match(re.escape(pre) + r"encoder\.layers\.(\d+)\.", k) for k in sd)
+        if m
+    )
+    layers = []
+    for i in range(n_layers):
+        p = f"encoder.layers.{i}"
+        layers.append(
+            {
+                "ln1": {"g": jnp.asarray(arr(f"{p}.layer_norm1.weight"), dtype),
+                        "b": jnp.asarray(arr(f"{p}.layer_norm1.bias"), dtype)},
+                "q": {"w": jnp.asarray(arr(f"{p}.self_attn.q_proj.weight"), dtype),
+                      "b": jnp.asarray(arr(f"{p}.self_attn.q_proj.bias"), dtype)},
+                "k": {"w": jnp.asarray(arr(f"{p}.self_attn.k_proj.weight"), dtype),
+                      "b": jnp.asarray(arr(f"{p}.self_attn.k_proj.bias"), dtype)},
+                "v": {"w": jnp.asarray(arr(f"{p}.self_attn.v_proj.weight"), dtype),
+                      "b": jnp.asarray(arr(f"{p}.self_attn.v_proj.bias"), dtype)},
+                "out": {"w": jnp.asarray(arr(f"{p}.self_attn.out_proj.weight"), dtype),
+                        "b": jnp.asarray(arr(f"{p}.self_attn.out_proj.bias"), dtype)},
+                "ln2": {"g": jnp.asarray(arr(f"{p}.layer_norm2.weight"), dtype),
+                        "b": jnp.asarray(arr(f"{p}.layer_norm2.bias"), dtype)},
+                "fc1": {"w": jnp.asarray(arr(f"{p}.mlp.fc1.weight"), dtype),
+                        "b": jnp.asarray(arr(f"{p}.mlp.fc1.bias"), dtype)},
+                "fc2": {"w": jnp.asarray(arr(f"{p}.mlp.fc2.weight"), dtype),
+                        "b": jnp.asarray(arr(f"{p}.mlp.fc2.bias"), dtype)},
+            }
+        )
+    return {
+        "patch_embed": jnp.asarray(
+            arr("embeddings.patch_embedding.weight").transpose(2, 3, 1, 0), dtype
+        ),
+        "class_embedding": jnp.asarray(arr("embeddings.class_embedding"), dtype),
+        "pos_embed": jnp.asarray(arr("embeddings.position_embedding.weight"), dtype),
+        "pre_ln": {"g": jnp.asarray(arr("pre_layrnorm.weight"), dtype),
+                   "b": jnp.asarray(arr("pre_layrnorm.bias"), dtype)},
+        "layers": layers,
+        "post_ln": {"g": jnp.asarray(arr("post_layernorm.weight"), dtype),
+                    "b": jnp.asarray(arr("post_layernorm.bias"), dtype)},
+    }

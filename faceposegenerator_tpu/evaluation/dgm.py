@@ -369,3 +369,50 @@ def _inception_encoder(weights_path: Optional[str] = None, **kw):
 
 
 register_encoder("inception", _inception_encoder)
+
+
+def _clip_encoder(weights_path: Optional[str] = None, arch: str = "vitb32", **kw):
+    """dgm-eval 'clip' encoder: ln_post(CLS) features (no projection —
+    depth=0 default, `dgm_eval/models/clip.py:40-70`) over 224² bicubic +
+    CLIP-normalized images."""
+    import jax
+
+    from ..core.precision import DEFAULT_POLICY
+    from ..models import clip_vision
+
+    cfg = {"vitb32": clip_vision.VITB32_CLIP_CONFIG, "vitl14": clip_vision.VITL14_CLIP_CONFIG}[arch]
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_clip_vision_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        params = convert_clip_vision_state_dict(loader(weights_path), cfg)
+    else:
+        params = clip_vision.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(x):
+        return clip_vision.cls_feature(params, x, cfg, policy=DEFAULT_POLICY)
+
+    clip_mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    clip_std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((cfg.image_size, cfg.image_size), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - clip_mean) / clip_std
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+register_encoder("clip", _clip_encoder)
