@@ -518,3 +518,55 @@ class TInceptionV3(nn.Module):
                   self.Mixed_7a, self.Mixed_7b, self.Mixed_7c):
             x = m(x)
         return x.mean(dim=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet-50 mirror (swav/simclr-family encoders)
+# ---------------------------------------------------------------------------
+
+
+class TBottleneck(nn.Module):
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        idt = self.downsample(x) if hasattr(self, "downsample") else x
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return F.relu(h + idt)
+
+
+class TResNet50(nn.Module):
+    """torchvision key layout (conv1/bn1/layer{1..4}.{i}.*) — loads real
+    SwAV/imagenet ResNet-50 checkpoints; 2048-d avgpool features."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        cin = 64
+        for li, (n, width, stride) in enumerate(zip((3, 4, 6, 3), (64, 128, 256, 512), (1, 2, 2, 2))):
+            blocks = []
+            for bi in range(n):
+                blocks.append(TBottleneck(cin if bi == 0 else width * 4, width, stride if bi == 0 else 1))
+            setattr(self, f"layer{li + 1}", nn.Sequential(*blocks))
+            cin = width * 4
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.max_pool2d(x, 3, stride=2, padding=1)
+        for li in range(4):
+            x = getattr(self, f"layer{li + 1}")(x)
+        return x.mean(dim=(2, 3))

@@ -46,7 +46,13 @@ def load_torch_pth(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return {k: v.float().numpy() for k, v in sd.items()}
+    # unwrap common checkpoint containers (MAE nests under "model", FR
+    # trainers under "state_dict")
+    for container in ("state_dict", "model"):
+        if container in sd and isinstance(sd[container], dict):
+            sd = sd[container]
+            break
+    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
 
 def _conv(sd, prefix, dtype):
@@ -433,7 +439,10 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.flo
             qw, kw, vw = qkv_w[:d], qkv_w[d : 2 * d], qkv_w[2 * d :]
             qb, kb, vb = qkv_b[:d], qkv_b[d : 2 * d], qkv_b[2 * d :]
             ow, ob = arr(f"{p}.attn.proj.weight"), arr(f"{p}.attn.proj.bias")
-            ls1, ls2 = arr(f"{p}.ls1.gamma"), arr(f"{p}.ls2.gamma")
+            # LayerScale absent in plain timm ViTs (MAE) — hub layout only
+            has_ls = (pre_hub := f"{p}.ls1.gamma") in sd
+            ls1 = arr(f"{p}.ls1.gamma") if has_ls else None
+            ls2 = arr(f"{p}.ls2.gamma") if has_ls else None
             n1, n2 = f"{p}.norm1", f"{p}.norm2"
             f1, f2 = f"{p}.mlp.fc1", f"{p}.mlp.fc2"
         else:
@@ -446,20 +455,20 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.flo
             ls1, ls2 = arr(f"{p}.layer_scale1.lambda1"), arr(f"{p}.layer_scale2.lambda1")
             n1, n2 = f"{p}.norm1", f"{p}.norm2"
             f1, f2 = f"{p}.mlp.fc1", f"{p}.mlp.fc2"
-        layers.append(
-            {
-                "norm1": _norm(sd, n1, dtype),
-                "q": {"w": jnp.asarray(qw, dtype), "b": jnp.asarray(qb, dtype)},
-                "k": {"w": jnp.asarray(kw, dtype), "b": jnp.asarray(kb, dtype)},
-                "v": {"w": jnp.asarray(vw, dtype), "b": jnp.asarray(vb, dtype)},
-                "out": {"w": jnp.asarray(ow, dtype), "b": jnp.asarray(ob, dtype)},
-                "ls1": jnp.asarray(ls1, dtype),
-                "norm2": _norm(sd, n2, dtype),
-                "fc1": _dense(sd, f1, dtype),
-                "fc2": _dense(sd, f2, dtype),
-                "ls2": jnp.asarray(ls2, dtype),
-            }
-        )
+        layer = {
+            "norm1": _norm(sd, n1, dtype),
+            "q": {"w": jnp.asarray(qw, dtype), "b": jnp.asarray(qb, dtype)},
+            "k": {"w": jnp.asarray(kw, dtype), "b": jnp.asarray(kb, dtype)},
+            "v": {"w": jnp.asarray(vw, dtype), "b": jnp.asarray(vb, dtype)},
+            "out": {"w": jnp.asarray(ow, dtype), "b": jnp.asarray(ob, dtype)},
+            "norm2": _norm(sd, n2, dtype),
+            "fc1": _dense(sd, f1, dtype),
+            "fc2": _dense(sd, f2, dtype),
+        }
+        if ls1 is not None:
+            layer["ls1"] = jnp.asarray(ls1, dtype)
+            layer["ls2"] = jnp.asarray(ls2, dtype)
+        layers.append(layer)
     return {
         "patch_embed": {
             "w": jnp.asarray(patch_w.transpose(2, 3, 1, 0), dtype),  # OIHW→HWIO
@@ -650,3 +659,35 @@ def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jn
         "post_ln": {"g": jnp.asarray(arr("post_layernorm.weight"), dtype),
                     "b": jnp.asarray(arr("post_layernorm.bias"), dtype)},
     }
+
+
+def convert_resnet50_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.float32):
+    """torchvision ResNet-50 state dict → `models/resnet50.py` pytree.
+    SwAV checkpoints prefix keys with `module.` and carry projection-head
+    keys (ignored); the classifier fc is ignored too."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+    def unit(conv_prefix, bn_prefix):
+        return {
+            "w": jnp.asarray(np.asarray(sd[f"{conv_prefix}.weight"]).transpose(2, 3, 1, 0), dtype),
+            "g": jnp.asarray(sd[f"{bn_prefix}.weight"], dtype),
+            "b": jnp.asarray(sd[f"{bn_prefix}.bias"], dtype),
+            "mean": jnp.asarray(sd[f"{bn_prefix}.running_mean"], dtype),
+            "var": jnp.asarray(sd[f"{bn_prefix}.running_var"], dtype),
+        }
+
+    params = {"stem": unit("conv1", "bn1")}
+    for li, n in enumerate((3, 4, 6, 3)):
+        blocks = []
+        for bi in range(n):
+            p = f"layer{li + 1}.{bi}"
+            block = {
+                "conv1": unit(f"{p}.conv1", f"{p}.bn1"),
+                "conv2": unit(f"{p}.conv2", f"{p}.bn2"),
+                "conv3": unit(f"{p}.conv3", f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                block["downsample"] = unit(f"{p}.downsample.0", f"{p}.downsample.1")
+            blocks.append(block)
+        params[f"layer{li + 1}"] = blocks
+    return params

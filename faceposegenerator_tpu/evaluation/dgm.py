@@ -416,3 +416,96 @@ def _clip_encoder(weights_path: Optional[str] = None, arch: str = "vitb32", **kw
 
 
 register_encoder("clip", _clip_encoder)
+
+
+def _resnet_ssl_encoder(weights_path: Optional[str] = None, **kw):
+    """ResNet-50 self-supervised encoders ("swav"; "simclr" shares the
+    trunk wiring): 2048-d avgpool features over 224² imagenet-normalized
+    inputs (`dgm_eval/models/swav.py:290-372`)."""
+    import jax
+
+    from ..models import resnet50
+
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_resnet50_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        params = convert_resnet50_state_dict(loader(weights_path))
+    else:
+        params = resnet50.init(jax.random.key(0))
+
+    @jax.jit
+    def fwd(x):
+        return resnet50.apply(params, x)
+
+    imagenet_mean = np.array([0.485, 0.456, 0.406], np.float32)
+    imagenet_std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BILINEAR), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - imagenet_mean) / imagenet_std
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+def _mae_encoder(weights_path: Optional[str] = None, **kw):
+    """MAE ViT-L/16: final-norm CLS features (timm forward_features,
+    global_pool=False — `dgm_eval/models/mae.py:34-70`)."""
+    import jax
+
+    from ..core.precision import DEFAULT_POLICY
+    from ..models import dinov2
+
+    cfg = dinov2.MAE_VITL16_CONFIG
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_dinov2_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        sd = loader(weights_path)
+        sd = sd.get("model", sd)  # MAE checkpoints nest under "model"
+        params = convert_dinov2_state_dict(sd, cfg)
+    else:
+        params = dinov2.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(x):
+        return dinov2.cls_feature(params, x, cfg, policy=DEFAULT_POLICY)
+
+    imagenet_mean = np.array([0.485, 0.456, 0.406], np.float32)
+    imagenet_std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - imagenet_mean) / imagenet_std
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+register_encoder("swav", _resnet_ssl_encoder)
+register_encoder("simclr", _resnet_ssl_encoder)
+register_encoder("mae", _mae_encoder)
+register_encoder("sinception", _inception_encoder)  # same arch, SwAV-trained weights

@@ -42,6 +42,7 @@ class DINOv2Config:
     patch_size: int = 14
     image_size: int = 518  # training resolution → 37×37 pos-embed grid
     layer_norm_eps: float = 1e-6
+    layerscale: bool = True  # False = plain timm ViT (MAE, DeiT)
 
     @property
     def head_dim(self) -> int:
@@ -55,6 +56,10 @@ class DINOv2Config:
 VITL14_CONFIG = DINOv2Config()
 VITB14_CONFIG = DINOv2Config(hidden_size=768, num_layers=12, num_heads=12, intermediate_size=3072)
 VITS14_CONFIG = DINOv2Config(hidden_size=384, num_layers=12, num_heads=6, intermediate_size=1536)
+# plain timm ViT-L/16 — the MAE encoder (`dgm_eval/models/mae.py:34-70`:
+# forward_features = final-norm CLS token, global_pool=False default,
+# eps 1e-6 norm_layer per the MAE recipe)
+MAE_VITL16_CONFIG = DINOv2Config(patch_size=16, image_size=224, layerscale=False)
 
 
 def init(key: jax.Array, cfg: DINOv2Config = VITL14_CONFIG, dtype=jnp.float32):
@@ -74,20 +79,20 @@ def init(key: jax.Array, cfg: DINOv2Config = VITL14_CONFIG, dtype=jnp.float32):
 
     layers = []
     for _ in range(cfg.num_layers):
-        layers.append(
-            {
-                "norm1": ln(),
-                "q": dense(nk(), D, D),
-                "k": dense(nk(), D, D),
-                "v": dense(nk(), D, D),
-                "out": dense(nk(), D, D),
-                "ls1": jnp.ones((D,), dtype),
-                "norm2": ln(),
-                "fc1": dense(nk(), cfg.intermediate_size, D),
-                "fc2": dense(nk(), D, cfg.intermediate_size),
-                "ls2": jnp.ones((D,), dtype),
-            }
-        )
+        layer = {
+            "norm1": ln(),
+            "q": dense(nk(), D, D),
+            "k": dense(nk(), D, D),
+            "v": dense(nk(), D, D),
+            "out": dense(nk(), D, D),
+            "norm2": ln(),
+            "fc1": dense(nk(), cfg.intermediate_size, D),
+            "fc2": dense(nk(), D, cfg.intermediate_size),
+        }
+        if cfg.layerscale:
+            layer["ls1"] = jnp.ones((D,), dtype)
+            layer["ls2"] = jnp.ones((D,), dtype)
+        layers.append(layer)
     return {
         "patch_embed": {
             "w": jax.random.normal(nk(), (cfg.patch_size, cfg.patch_size, 3, D), dtype) * 0.02,
@@ -150,13 +155,13 @@ def apply(
         v = lora_dense(hn, lp["v"]["w"], lp["v"]["b"]).reshape(b, s, nh, hd)
         o = dot_product_attention(q, k, v).reshape(b, s, cfg.hidden_size)
         o = lora_dense(o, lp["out"]["w"], lp["out"]["b"])
-        x = x + lp["ls1"].astype(o.dtype) * o
+        x = x + (lp["ls1"].astype(o.dtype) * o if "ls1" in lp else o)
 
         hn = layer_norm(x, lp["norm2"]["g"], lp["norm2"]["b"], eps=cfg.layer_norm_eps)
         ff = lora_dense(hn, lp["fc1"]["w"], lp["fc1"]["b"])
         ff = jax.nn.gelu(ff, approximate=False)
         ff = lora_dense(ff, lp["fc2"]["w"], lp["fc2"]["b"])
-        x = x + lp["ls2"].astype(ff.dtype) * ff
+        x = x + (lp["ls2"].astype(ff.dtype) * ff if "ls2" in lp else ff)
 
     return layer_norm(x, params["final_norm"]["g"], params["final_norm"]["b"], eps=cfg.layer_norm_eps)
 
