@@ -570,3 +570,62 @@ class TResNet50(nn.Module):
         for li in range(4):
             x = getattr(self, f"layer{li + 1}")(x)
         return x.mean(dim=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# timm-layout ConvNeXt mirror (dgm-eval "convnext" encoder oracle/loader)
+# ---------------------------------------------------------------------------
+
+
+class TConvNeXtBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _Holder()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):
+        h = self.conv_dw(x).permute(0, 2, 3, 1)
+        h = self.norm(h)
+        h = self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+        h = (self.gamma * h).permute(0, 3, 1, 2)
+        return x + h
+
+
+class TConvNeXt(nn.Module):
+    """timm state-dict layout: stem.{0,1}, stages.{s}.downsample.{0,1},
+    stages.{s}.blocks.{i}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma}, head.norm."""
+
+    def __init__(self, depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536)):
+        super().__init__()
+        self.depths, self.dims = depths, dims
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4), nn.LayerNorm(dims[0], eps=1e-6)
+        )
+        self.stages = nn.ModuleList()
+        for s, (depth, dim) in enumerate(zip(depths, dims)):
+            stage = _Holder()
+            if s > 0:
+                stage.downsample = nn.Sequential(
+                    nn.LayerNorm(dims[s - 1], eps=1e-6),
+                    nn.Conv2d(dims[s - 1], dim, 2, stride=2),
+                )
+            stage.blocks = nn.ModuleList([TConvNeXtBlock(dim) for _ in range(depth)])
+            self.stages.append(stage)
+        self.head = _Holder()
+        self.head.norm = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def forward(self, x):
+        x = self.stem[0](x)
+        x = self.stem[1](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        for s, stage in enumerate(self.stages):
+            if s > 0:
+                x = stage.downsample[0](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                x = stage.downsample[1](x)
+            for blk in stage.blocks:
+                x = blk(x)
+        x = x.mean(dim=(2, 3))
+        return self.head.norm(x)

@@ -691,3 +691,86 @@ def convert_resnet50_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.float32):
             blocks.append(block)
         params[f"layer{li + 1}"] = blocks
     return params
+
+
+def convert_convnext_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.float32):
+    """timm ConvNeXt state dict → `models/convnext.py` pytree (accepts the
+    modern timm naming conv_dw/mlp.fc{1,2} and the original facebook naming
+    dwconv/pwconv{1,2}/downsample_layers)."""
+    from ..models import convnext as _cn
+
+    cfg = cfg or _cn.CONVNEXT_LARGE
+
+    def has(k):
+        return k in sd
+
+    def conv(prefix):
+        return {
+            "w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0), dtype),
+            "b": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+        }
+
+    def dense(prefix):
+        return {
+            "w": jnp.asarray(sd[f"{prefix}.weight"], dtype),
+            "b": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+        }
+
+    def ln(prefix):
+        return {
+            "g": jnp.asarray(sd[f"{prefix}.weight"], dtype),
+            "b": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+        }
+
+    timm_layout = any(k.startswith("stem.0") for k in sd)
+    if timm_layout:
+        params = {"stem_conv": conv("stem.0"), "stem_norm": ln("stem.1")}
+        for s, depth in enumerate(cfg.depths):
+            if s > 0:
+                params[f"stage{s}_downsample"] = {
+                    "norm": ln(f"stages.{s}.downsample.0"),
+                    "conv": conv(f"stages.{s}.downsample.1"),
+                }
+            blocks = []
+            for b in range(depth):
+                p = f"stages.{s}.blocks.{b}"
+                dw = f"{p}.conv_dw" if has(f"{p}.conv_dw.weight") else f"{p}.dwconv"
+                fc1 = f"{p}.mlp.fc1" if has(f"{p}.mlp.fc1.weight") else f"{p}.pwconv1"
+                fc2 = f"{p}.mlp.fc2" if has(f"{p}.mlp.fc2.weight") else f"{p}.pwconv2"
+                block = {
+                    "conv_dw": conv(dw),
+                    "norm": ln(f"{p}.norm"),
+                    "fc1": dense(fc1),
+                    "fc2": dense(fc2),
+                }
+                if has(f"{p}.gamma"):
+                    block["gamma"] = jnp.asarray(sd[f"{p}.gamma"], dtype)
+                blocks.append(block)
+            params[f"stage{s}_blocks"] = blocks
+        head = "head.norm" if has("head.norm.weight") else "norm"
+        params["head_norm"] = ln(head)
+        return params
+
+    # facebook research layout
+    params = {"stem_conv": conv("downsample_layers.0.0"), "stem_norm": ln("downsample_layers.0.1")}
+    for s, depth in enumerate(cfg.depths):
+        if s > 0:
+            params[f"stage{s}_downsample"] = {
+                "norm": ln(f"downsample_layers.{s}.0"),
+                "conv": conv(f"downsample_layers.{s}.1"),
+            }
+        blocks = []
+        for b in range(depth):
+            p = f"stages.{s}.{b}"
+            block = {
+                "conv_dw": conv(f"{p}.dwconv"),
+                "norm": ln(f"{p}.norm"),
+                "fc1": dense(f"{p}.pwconv1"),
+                "fc2": dense(f"{p}.pwconv2"),
+            }
+            if has(f"{p}.gamma"):
+                block["gamma"] = jnp.asarray(sd[f"{p}.gamma"], dtype)
+            blocks.append(block)
+        params[f"stage{s}_blocks"] = blocks
+    params["head_norm"] = ln("norm")
+    return params

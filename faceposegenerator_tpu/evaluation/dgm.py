@@ -509,3 +509,49 @@ register_encoder("swav", _resnet_ssl_encoder)
 register_encoder("simclr", _resnet_ssl_encoder)
 register_encoder("mae", _mae_encoder)
 register_encoder("sinception", _inception_encoder)  # same arch, SwAV-trained weights
+
+
+def _convnext_encoder(weights_path: Optional[str] = None, **kw):
+    """dgm-eval 'convnext' encoder: timm convnext_large features —
+    forward_features → global pool → head LN (1536-d) over 224²
+    imagenet-normalized inputs (`dgm_eval/models/convnext.py:78-84`)."""
+    import jax
+
+    from ..models import convnext
+
+    cfg = convnext.CONVNEXT_LARGE
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_convnext_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        params = convert_convnext_state_dict(loader(weights_path), cfg)
+    else:
+        params = convnext.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(x):
+        return convnext.apply(params, x, cfg)
+
+    imagenet_mean = np.array([0.485, 0.456, 0.406], np.float32)
+    imagenet_std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - imagenet_mean) / imagenet_std
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+register_encoder("convnext", _convnext_encoder)
