@@ -774,3 +774,54 @@ def convert_convnext_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.f
         params[f"stage{s}_blocks"] = blocks
     params["head_norm"] = ln("norm")
     return params
+
+
+def convert_data2vec_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.float32):
+    """`transformers.Data2VecVisionModel` state dict →
+    `models/data2vec_vision.py` pytree (BEiT layout: encoder.layer.{i}.
+    attention.attention.{query,key,value} + relative_position_bias table,
+    lambda_1/lambda_2 LayerScale, pooler.layernorm)."""
+
+    def arr(k):
+        return np.asarray(sd[k])
+
+    n_layers = 1 + max(
+        int(m.group(1))
+        for m in (re.match(r"encoder\.layer\.(\d+)\.", k) for k in sd)
+        if m
+    )
+    layers = []
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        a = f"{p}.attention.attention"
+        layers.append(
+            {
+                "norm1": _norm(sd, f"{p}.layernorm_before", dtype),
+                "q": {"w": jnp.asarray(arr(f"{a}.query.weight"), dtype),
+                      "b": jnp.asarray(arr(f"{a}.query.bias"), dtype)},
+                "k": {"w": jnp.asarray(arr(f"{a}.key.weight"), dtype)},
+                "v": {"w": jnp.asarray(arr(f"{a}.value.weight"), dtype),
+                      "b": jnp.asarray(arr(f"{a}.value.bias"), dtype)},
+                "out": {"w": jnp.asarray(arr(f"{p}.attention.output.dense.weight"), dtype),
+                        "b": jnp.asarray(arr(f"{p}.attention.output.dense.bias"), dtype)},
+                "rel_bias": jnp.asarray(
+                    arr(f"{a}.relative_position_bias.relative_position_bias_table"), dtype
+                ),
+                "ls1": jnp.asarray(arr(f"{p}.lambda_1"), dtype),
+                "norm2": _norm(sd, f"{p}.layernorm_after", dtype),
+                "fc1": _dense(sd, f"{p}.intermediate.dense", dtype),
+                "fc2": _dense(sd, f"{p}.output.dense", dtype),
+                "ls2": jnp.asarray(arr(f"{p}.lambda_2"), dtype),
+            }
+        )
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(
+                arr("embeddings.patch_embeddings.projection.weight").transpose(2, 3, 1, 0), dtype
+            ),
+            "b": jnp.asarray(arr("embeddings.patch_embeddings.projection.bias"), dtype),
+        },
+        "cls_token": jnp.asarray(arr("embeddings.cls_token"), dtype),
+        "layers": layers,
+        "pooler_norm": _norm(sd, "pooler.layernorm", dtype),
+    }

@@ -555,3 +555,47 @@ def _convnext_encoder(weights_path: Optional[str] = None, **kw):
 
 
 register_encoder("convnext", _convnext_encoder)
+
+
+def _data2vec_encoder(weights_path: Optional[str] = None, **kw):
+    """dgm-eval 'data2vec' encoder: Data2VecVision (BEiT) pooler_output —
+    LayerNorm(mean of patch tokens) (`dgm_eval/models/data2vec.py:35-60`;
+    224² inputs with the model's image processor normalization ≈ imagenet
+    halves: mean/std 0.5)."""
+    import jax
+
+    from ..models import data2vec_vision
+
+    cfg = data2vec_vision.D2V_LARGE_CONFIG
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import (
+            convert_data2vec_state_dict,
+            load_safetensors,
+            load_torch_pth,
+        )
+
+        loader = load_safetensors if weights_path.endswith(".safetensors") else load_torch_pth
+        params = convert_data2vec_state_dict(loader(weights_path), cfg)
+    else:
+        params = data2vec_vision.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(x):
+        return data2vec_vision.pooled_feature(params, x, cfg)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        x = (imgs / 255.0 - 0.5) / 0.5  # BEiT image processor normalization
+        return np.asarray(fwd(x))
+
+    return encode
+
+
+register_encoder("data2vec", _data2vec_encoder)
