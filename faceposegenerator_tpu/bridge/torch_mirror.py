@@ -629,3 +629,100 @@ class TConvNeXt(nn.Module):
                 x = blk(x)
         x = x.mean(dim=(2, 3))
         return self.head.norm(x)
+
+
+# ---------------------------------------------------------------------------
+# SimCLRv2 selective-kernel ResNet mirror (SimCLRv2-Pytorch key layout:
+# net.0 stem / net.{1..4}.blocks.{i} stages) — oracle + real-ckpt loader
+# ---------------------------------------------------------------------------
+
+
+def _bnrelu(c, relu=True):
+    return nn.Sequential(nn.BatchNorm2d(c, eps=1e-5), nn.ReLU() if relu else nn.Identity())
+
+
+class TSelectiveKernel(nn.Module):
+    def __init__(self, cin, cout, stride, sk_ratio=0.0625):
+        super().__init__()
+        self.main_conv = nn.Sequential(
+            nn.Conv2d(cin, 2 * cout, 3, stride=stride, padding=1, bias=False),
+            _bnrelu(2 * cout),
+        )
+        mid = max(int(cout * sk_ratio), 32)
+        self.mixing_conv = nn.Sequential(
+            nn.Conv2d(cout, mid, 1, bias=False), _bnrelu(mid),
+            nn.Conv2d(mid, 2 * cout, 1, bias=False),
+        )
+
+    def forward(self, x):
+        x = self.main_conv(x)
+        x = torch.stack(torch.chunk(x, 2, dim=1), dim=0)
+        g = x.sum(dim=0).mean(dim=[2, 3], keepdim=True)
+        m = self.mixing_conv(g)
+        m = torch.stack(torch.chunk(m, 2, dim=1), dim=0)
+        return (x * F.softmax(m, dim=0)).sum(dim=0)
+
+
+class TSKProjection(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.shortcut = nn.Sequential(
+            nn.ZeroPad2d((0, 1, 0, 1)),
+            nn.AvgPool2d(2, stride=stride, padding=0),
+            nn.Conv2d(cin, cout, 1, bias=False),
+        )
+        self.bn = _bnrelu(cout, relu=False)
+
+    def forward(self, x):
+        return self.bn(self.shortcut(x))
+
+
+class TSKBottleneck(nn.Module):
+    def __init__(self, cin, width, stride, use_projection):
+        super().__init__()
+        cout = width * 4
+        self.projection = TSKProjection(cin, cout, stride) if use_projection else nn.Identity()
+        self.net = nn.Sequential(
+            nn.Conv2d(cin, width, 1, bias=False), _bnrelu(width),
+            TSelectiveKernel(width, width, stride),
+            nn.Conv2d(width, cout, 1, bias=False), _bnrelu(cout, relu=False),
+        )
+
+    def forward(self, x):
+        return F.relu(self.projection(x) + self.net(x))
+
+
+class _TSKBlocks(nn.Module):
+    def __init__(self, n, cin, width, stride):
+        super().__init__()
+        self.blocks = nn.ModuleList([TSKBottleneck(cin, width, stride, True)])
+        for _ in range(n - 1):
+            self.blocks.append(TSKBottleneck(width * 4, width, 1, False))
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+class TSimCLRResNet(nn.Module):
+    """r50_{w}x_sk1; features = 2048·w global-average-pool."""
+
+    def __init__(self, width_multiplier=1):
+        super().__init__()
+        c0 = 64 * width_multiplier // 2
+        stem = nn.Sequential(
+            nn.Conv2d(3, c0, 3, stride=2, padding=1, bias=False), _bnrelu(c0),
+            nn.Conv2d(c0, c0, 3, padding=1, bias=False), _bnrelu(c0),
+            nn.Conv2d(c0, 2 * c0, 3, padding=1, bias=False), _bnrelu(2 * c0),
+            nn.MaxPool2d(3, stride=2, padding=1),
+        )
+        mods = [stem]
+        cin = 64 * width_multiplier
+        for n, width, stride in zip((3, 4, 6, 3), (64, 128, 256, 512), (1, 2, 2, 2)):
+            mods.append(_TSKBlocks(n, cin, width * width_multiplier, stride))
+            cin = width * width_multiplier * 4
+        self.net = nn.Sequential(*mods)
+
+    def forward(self, x):
+        return self.net(x).mean(dim=(2, 3))

@@ -825,3 +825,57 @@ def convert_data2vec_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.f
         "layers": layers,
         "pooler_norm": _norm(sd, "pooler.layernorm", dtype),
     }
+
+
+def convert_simclr_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.float32):
+    """SimCLRv2-Pytorch checkpoint (the 'resnet' entry) →
+    `models/simclr_resnet.py` pytree. Key layout: net.0.{0,2,4} stem convs
+    with BatchNormRelu at odd indices; net.{1..4}.blocks.{i} with
+    projection.shortcut.2 / net.{0..4} (conv1, bn1, SK, conv3, bn3)."""
+    if "resnet" in sd and isinstance(sd["resnet"], dict):
+        sd = sd["resnet"]
+
+    def cw(prefix):  # conv weight OIHW→HWIO
+        return jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0), dtype)
+
+    def bn(prefix):
+        return {
+            "g": jnp.asarray(sd[f"{prefix}.weight"], dtype),
+            "b": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+            "mean": jnp.asarray(sd[f"{prefix}.running_mean"], dtype),
+            "var": jnp.asarray(sd[f"{prefix}.running_var"], dtype),
+        }
+
+    params = {
+        "stem": {
+            "conv1_w": cw("net.0.0"), "bn1": bn("net.0.1.0"),
+            "conv2_w": cw("net.0.2"), "bn2": bn("net.0.3.0"),
+            "conv3_w": cw("net.0.4"), "bn3": bn("net.0.5.0"),
+        },
+        "stages": [],
+    }
+    for s, n in enumerate((3, 4, 6, 3)):
+        blocks = []
+        for b in range(n):
+            p = f"net.{s + 1}.blocks.{b}"
+            block = {
+                "conv1_w": cw(f"{p}.net.0"),
+                "bn1": bn(f"{p}.net.1.0"),
+                "sk": {
+                    "main_w": cw(f"{p}.net.2.main_conv.0"),
+                    "main_bn": bn(f"{p}.net.2.main_conv.1.0"),
+                    "mix1_w": cw(f"{p}.net.2.mixing_conv.0"),
+                    "mix1_bn": bn(f"{p}.net.2.mixing_conv.1.0"),
+                    "mix2_w": cw(f"{p}.net.2.mixing_conv.2"),
+                },
+                "conv3_w": cw(f"{p}.net.3"),
+                "bn3": bn(f"{p}.net.4.0"),
+            }
+            if f"{p}.projection.shortcut.2.weight" in sd:
+                block["proj"] = {
+                    "conv_w": cw(f"{p}.projection.shortcut.2"),
+                    "bn": bn(f"{p}.projection.bn.0"),
+                }
+            blocks.append(block)
+        params["stages"].append(blocks)
+    return params

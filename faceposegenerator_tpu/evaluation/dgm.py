@@ -505,8 +505,41 @@ def _mae_encoder(weights_path: Optional[str] = None, **kw):
     return encode
 
 
+def _simclr_encoder(weights_path: Optional[str] = None, **kw):
+    """SimCLRv2 r50_1x_sk1 (selective-kernel ResNet) 2048-d avgpool features
+    (`dgm_eval/models/simclr.py:16-200`); inputs 224², ToTensor scale only
+    (the SimCLR transform applies no mean/std normalization)."""
+    import jax
+
+    from ..models import simclr_resnet
+
+    if weights_path and os.path.exists(weights_path):
+        from ..bridge.torch_weights import convert_simclr_state_dict, load_torch_pth
+
+        params = convert_simclr_state_dict(load_torch_pth(weights_path))
+    else:
+        params = simclr_resnet.init(jax.random.key(0))
+
+    @jax.jit
+    def fwd(x):
+        return simclr_resnet.apply(params, x)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BILINEAR), np.float32)
+                for b in batch
+            ]
+        )
+        return np.asarray(fwd(imgs / 255.0))
+
+    return encode
+
+
 register_encoder("swav", _resnet_ssl_encoder)
-register_encoder("simclr", _resnet_ssl_encoder)
+register_encoder("simclr", _simclr_encoder)
 register_encoder("mae", _mae_encoder)
 register_encoder("sinception", _inception_encoder)  # same arch, SwAV-trained weights
 
