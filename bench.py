@@ -29,13 +29,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_train(batch: int, repeats: int):
-    """ID-Booth LoRA fine-tune step throughput (BASELINE config 4)."""
+    """ID-Booth LoRA fine-tune step throughput (BASELINE config 4).
+
+    Ablation knobs (train-step roofline attribution, VERDICT r1 #9):
+      BENCH_LOSS   ""|identity|triplet_prior (default triplet_prior) — "";
+                   drops the whole x̂0→decode→ArcFace identity branch
+      BENCH_REMAT  1 turns on jax.checkpoint around UNet blocks
+      BENCH_ATTN   auto|flash|reference (threaded into the UNet)
+    """
     from faceposegenerator_tpu.core.precision import Policy
     from faceposegenerator_tpu.models import clip_text, unet2d, vae, iresnet
     from faceposegenerator_tpu.training import idbooth
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    bundle = idbooth.ModelBundle(arcface_cfg=iresnet.config_for("r100"))
+    which_loss = os.environ.get("BENCH_LOSS", "triplet_prior")
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    attn = os.environ.get("BENCH_ATTN", "auto")
+    bundle = idbooth.ModelBundle(arcface_cfg=iresnet.config_for("r100"), attn_impl=attn)
     ap, ast = iresnet.init(jax.random.key(3), bundle.arcface_cfg)
     frozen = {
         "text_encoder": clip_text.init(jax.random.key(0), bundle.text_cfg, dtype=jnp.bfloat16),
@@ -43,7 +53,10 @@ def bench_train(batch: int, repeats: int):
         "vae": vae.init(jax.random.key(2), bundle.vae_cfg, dtype=jnp.bfloat16),
         "arcface": {"params": ap, "state": ast},
     }
-    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", train_batch_size=batch)
+    cfg = idbooth.IDBoothConfig(
+        which_loss=which_loss, train_batch_size=batch,
+        gradient_checkpointing=remat,
+    )
     trainable = idbooth.init_trainable(jax.random.key(4), cfg, bundle, frozen["unet"])
     import optax
 
@@ -56,16 +69,17 @@ def bench_train(batch: int, repeats: int):
         "gt_embeds": jax.random.normal(jax.random.key(7), (2 * batch, 512)),
     }
     t2, o2, m = step(trainable, opt_state, frozen, batch_data, jax.random.key(0))
-    jax.block_until_ready(m)
+    float(m["loss"])  # axon: block_until_ready can return early; force a host fetch
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         t2, o2, m = step(t2, o2, frozen, batch_data, jax.random.key(i))
-        jax.block_until_ready(m)
+        float(m["loss"])
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {
-        "metric": f"ID-Booth train imgs/sec/chip 512x512 triplet-loss bs{batch}(+prior)",
+        "metric": f"ID-Booth train imgs/sec/chip 512x512 loss={which_loss or 'mse'} bs{batch}(+prior)"
+        + (" remat" if remat else ""),
         "value": round(batch / best, 3),
         "unit": "img/s",
         "vs_baseline": round(batch / best, 3),
@@ -131,7 +145,6 @@ def apply_ablation(name: str):
             return out * jax.nn.sigmoid(out) if act == "silu" else out
         unet2d.group_norm = fake_gn
     elif name == "no_vae":
-        real_decode = vae.decode
         def fake_decode(params, z, cfg, policy=None, **kw):
             b, h, w, _ = z.shape
             return jnp.broadcast_to(jnp.mean(z), (b, h * 8, w * 8, 3))

@@ -440,7 +440,7 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], cfg=None, dtype=jnp.flo
             qb, kb, vb = qkv_b[:d], qkv_b[d : 2 * d], qkv_b[2 * d :]
             ow, ob = arr(f"{p}.attn.proj.weight"), arr(f"{p}.attn.proj.bias")
             # LayerScale absent in plain timm ViTs (MAE) — hub layout only
-            has_ls = (pre_hub := f"{p}.ls1.gamma") in sd
+            has_ls = f"{p}.ls1.gamma" in sd
             ls1 = arr(f"{p}.ls1.gamma") if has_ls else None
             ls2 = arr(f"{p}.ls2.gamma") if has_ls else None
             n1, n2 = f"{p}.norm1", f"{p}.norm2"

@@ -419,9 +419,8 @@ register_encoder("clip", _clip_encoder)
 
 
 def _resnet_ssl_encoder(weights_path: Optional[str] = None, **kw):
-    """ResNet-50 self-supervised encoders ("swav"; "simclr" shares the
-    trunk wiring): 2048-d avgpool features over 224² imagenet-normalized
-    inputs (`dgm_eval/models/swav.py:290-372`)."""
+    """SwAV's torchvision ResNet-50: 2048-d avgpool features over 224²
+    imagenet-normalized inputs (`dgm_eval/models/swav.py:290-372`)."""
     import jax
 
     from ..models import resnet50

@@ -14,14 +14,10 @@ real SD2.1 channel/head shapes (320ch resblock, 5-head/64-dim transformer
 with 1024-dim cross-attention, 512ch VAE attention).
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
-import torch.nn as nn
-import torch.nn.functional as F
 
 from faceposegenerator_tpu.bridge.torch_weights import (
     convert_unet_state_dict,
@@ -30,14 +26,6 @@ from faceposegenerator_tpu.bridge.torch_weights import (
 from faceposegenerator_tpu.core.precision import PARITY_POLICY
 from faceposegenerator_tpu.models import unet2d, vae
 
-torch.manual_seed(0)
-
-
-# ---------------------------------------------------------------------------
-# torch mirror modules (diffusers wiring + key layout)
-# ---------------------------------------------------------------------------
-
-
 from faceposegenerator_tpu.bridge.torch_mirror import (
     TResnetBlock,
     TTransformer2D,
@@ -45,6 +33,8 @@ from faceposegenerator_tpu.bridge.torch_mirror import (
     TVAE,
     TVAEAttn,
 )
+
+torch.manual_seed(0)
 
 
 def _sd_numpy(model):
