@@ -112,11 +112,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _cap_blocks_for_dim(block_q, block_k, d):
+    """Scale blocks down for wide heads so the per-block VMEM footprint
+    (q/k/v tiles + fp32 logits + (bq, d) fp32 scratch) stays inside the
+    16 MB scoped-vmem budget. Measured: d=512 (VAE attention) at 1024/1024
+    OOMs the compiler ("exceeded scoped vmem limit"); 256/256 fits."""
+    if d > 128:
+        shrink = d // 128
+        block_q = max(128, block_q // shrink)
+        block_k = max(128, block_k // shrink)
+    return block_q, block_k
+
+
 def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
     """q: (BH, Sq, D); k, v: (BH, Skv, D). Returns (BH, Sq, D)."""
     bh, sq, d = q.shape
     skv = k.shape[1]
 
+    block_q, block_k = _cap_blocks_for_dim(block_q, block_k, d)
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
     pad_q = (-sq) % block_q
