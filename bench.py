@@ -44,7 +44,7 @@ def bench_train(batch: int, repeats: int):
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     which_loss = os.environ.get("BENCH_LOSS", "triplet_prior")
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    attn = os.environ.get("BENCH_ATTN", "auto")
+    attn = os.environ.get("BENCH_ATTN", "reference")  # see ModelBundle.attn_impl
     bundle = idbooth.ModelBundle(arcface_cfg=iresnet.config_for("r100"), attn_impl=attn)
     ap, ast = iresnet.init(jax.random.key(3), bundle.arcface_cfg)
     frozen = {

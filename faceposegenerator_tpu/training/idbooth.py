@@ -92,7 +92,11 @@ class ModelBundle:
     unet_cfg: unet2d.UNetConfig = unet2d.SD21_UNET_CONFIG
     vae_cfg: vae.VAEConfig = vae.SD_VAE_CONFIG
     arcface_cfg: iresnet.IResNetConfig = iresnet.IResNetConfig()
-    attn_impl: str = "auto"
+    # "reference" for TRAINING: the flash kernel's backward recomputes the
+    # whole attention (memory-for-compute remat), which measured SLOWER than
+    # XLA's saved-residual backward at the ID-Booth shapes (3.27 vs 3.93
+    # train-imgs/s, v5e bs2+prior). Inference samplers use "auto" (flash).
+    attn_impl: str = "reference"
 
 
 def full_image_boxes(images: jax.Array):
