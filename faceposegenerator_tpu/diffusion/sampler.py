@@ -168,3 +168,28 @@ def sample_data_parallel(mesh, params, schedule, input_ids, negative_input_ids, 
     if lora is not None:
         lora = replicate(mesh, lora)
     return sample(params_r, schedule, ids, neg, key, lora=lora, **kw)
+
+
+def sample_2d_parallel(mesh, params, schedule, input_ids, negative_input_ids, key, **kw):
+    """2-D parallel sampling: batch sharded over "data" AND the UNet
+    tensor-sharded over "model" (Megatron placement via
+    `parallel.shard_unet_params_tp` — per-level shard-or-replicate for
+    SD2.1's 5/10/20 heads). jit's SPMD partitioner inserts the two
+    all-reduces per transformer block over ICI; text encoder and VAE stay
+    replicated (tiny share of the FLOPs)."""
+    from ..core.mesh import replicate, shard_batch
+    from ..parallel import shard_unet_params_tp
+
+    models = kw.get("models", SamplerModels())
+    ids, neg = shard_batch(mesh, (input_ids, negative_input_ids))
+    placed = {
+        "text_encoder": replicate(mesh, params["text_encoder"]),
+        "vae": replicate(mesh, params["vae"]),
+        "unet": shard_unet_params_tp(
+            params["unet"], mesh, head_dim=models.unet_cfg.head_dim
+        ),
+    }
+    lora = kw.pop("lora", None)
+    if lora is not None:
+        lora = replicate(mesh, lora)
+    return sample(placed, schedule, ids, neg, key, lora=lora, **kw)

@@ -65,3 +65,48 @@ def test_sampler_golden_statistics():
     assert img.shape == (1, 64, 64, 3)
     np.testing.assert_allclose(mean, 0.4905956, atol=2e-3)
     np.testing.assert_allclose(std, 0.1442591, atol=2e-3)
+
+
+def test_2d_parallel_sampling_matches_single_device():
+    """data×model (4×2) mesh sampling — batch sharded AND the UNet
+    tensor-sharded — must reproduce the single-device output."""
+    from faceposegenerator_tpu.core.mesh import make_mesh
+    from faceposegenerator_tpu.diffusion.sampler import sample_2d_parallel
+
+    params = _params()
+    sched = make_ddpm(num_inference_steps=2)
+    ids = jax.random.randint(jax.random.key(7), (8, 77), 0, 128)
+    neg = jnp.zeros_like(ids)
+    single = sample(
+        params, sched, ids, neg, jax.random.key(9),
+        models=TINY, height=64, width=64, policy=PARITY_POLICY,
+    )
+    mesh = make_mesh(model=2)  # 4 data × 2 model
+    sharded = sample_2d_parallel(
+        mesh, params, sched, ids, neg, jax.random.key(9),
+        models=TINY, height=64, width=64, policy=PARITY_POLICY,
+    )
+    # TP psums change fp reduction order; 2e-3 on [0,1] images is noise-level
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=2e-3)
+
+
+def test_sampler_flash_path_matches_reference():
+    """The composed sampler with the Pallas flash attention (interpret mode
+    on CPU) reproduces the reference-einsum sampler — covers the packed
+    kernel inside the full CFG loop, not just the unit tests."""
+    import dataclasses as _dc
+
+    params = _params()
+    sched = make_ddpm(num_inference_steps=2)
+    ids = jax.random.randint(jax.random.key(3), (2, 77), 0, 128)
+    neg = jnp.zeros_like(ids)
+    ref = sample(
+        params, sched, ids, neg, jax.random.key(5),
+        models=TINY, height=64, width=64, policy=PARITY_POLICY,
+    )
+    flash_models = _dc.replace(TINY, attn_impl="flash")
+    out = sample(
+        params, sched, ids, neg, jax.random.key(5),
+        models=flash_models, height=64, width=64, policy=PARITY_POLICY,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
