@@ -45,6 +45,8 @@ import os as _os
 DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "1024"))
 DEFAULT_BLOCK_K = int(_os.environ.get("FLASH_BLOCK_K", "1024"))
 _BF16_EXP = _os.environ.get("FLASH_BF16_EXP", "0") == "1"
+_EXP2 = _os.environ.get("FLASH_EXP2", "0") == "1"
+LOG2E = 1.4426950408889634
 # FLASH_IMPL=official routes packed self-attention through
 # jax.experimental.pallas.ops.tpu.flash_attention (heavier-tuned Mosaic
 # scheduling) — packing to d=128 is still ours; cross-attention (kv_len)
@@ -231,6 +233,14 @@ def _fwd_kernel_packed(
         p_b = jnp.exp((s_b - m_new_b).astype(jnp.bfloat16))
         l_a = jnp.sum(p_a, axis=1, keepdims=True, dtype=jnp.float32)
         l_b = jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
+    elif _EXP2:
+        # bench knob: exp(x) = 2^(x·log2 e) — exp2 is the VPU-native
+        # transcendental; one (bq,1) rescale of m replaces per-element work.
+        # Exact up to one extra fp32 multiply per element.
+        p_a = jnp.exp2((s_a - m_new_a) * LOG2E)
+        p_b = jnp.exp2((s_b - m_new_b) * LOG2E)
+        l_a = jnp.sum(p_a, axis=1, keepdims=True)
+        l_b = jnp.sum(p_b, axis=1, keepdims=True)
     else:
         p_a = jnp.exp(s_a - m_new_a)
         p_b = jnp.exp(s_b - m_new_b)
