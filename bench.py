@@ -9,8 +9,10 @@ JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 30),
 BENCH_REPEATS (default 3), BENCH_ATTN (auto|flash|reference),
-BENCH_KIND (sample [default] | train | embed — the BASELINE.md configs:
-txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace embed extraction).
+BENCH_KIND (sample [default] | train | embed | sweep — the BASELINE.md
+configs: txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace embed
+extraction, synthesis sweep + pose/FIQA eval harness),
+BENCH_ABLATE (no_attn|no_xf|no_gn|no_vae time-attribution variants).
 """
 
 from __future__ import annotations
@@ -84,6 +86,76 @@ def bench_train(batch: int, repeats: int):
         "unit": "img/s",
         "vs_baseline": round(batch / best, 3),
         "extra": {"step_s": round(best, 3), "device": str(jax.devices()[0])},
+    }
+
+
+def bench_sweep(repeats: int):
+    """BASELINE config 5: multi-identity synthesis sweep + pose/CR-FIQA eval
+    harness, end-to-end (prompt build → batched 30-step CFG generation →
+    PNGs → CR-FIQA quality scoring → 6DRepNet pose stats). Random weights;
+    one identity × one model variant × 8 prompts per timed pass."""
+    import tempfile
+
+    from faceposegenerator_tpu.core.precision import Policy
+    from faceposegenerator_tpu.data.tokenizer import CLIPTokenizer, bytes_to_unicode
+    from faceposegenerator_tpu.diffusion.sampler import SamplerModels
+    from faceposegenerator_tpu.evaluation import fiqa, pose
+    from faceposegenerator_tpu.models import iresnet
+    from faceposegenerator_tpu.pipelines.sweep import run_sweep
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    # byte-fallback tokenizer: every prompt tokenizes without real vocab files
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    tok = CLIPTokenizer(vocab, [], model_max_length=77)
+
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    models = SamplerModels(attn_impl=os.environ.get("BENCH_ATTN", "auto"))
+    pipe = StableDiffusionPipeline.from_random(
+        models=models, dtype=jnp.bfloat16, tokenizer=tok, policy=policy
+    )
+
+    # eval harness models (random weights; throughput is weight-agnostic)
+    fr_cfg = iresnet.config_for("r100")
+    fp, fs = iresnet.init(jax.random.key(1), fr_cfg)
+    qs = fiqa.init_qs_head(jax.random.key(2))
+    quality_fn = fiqa.make_quality_fn(fp, fs, qs, fr_cfg, policy=policy)
+    pose_params = pose.init_sixdrepnet(jax.random.key(3))
+    pose_fn = pose.make_pose_fn(pose_params)
+
+    n_prompts = int(os.environ.get("BENCH_SWEEP_PROMPTS", "8"))
+
+    def one_pass(workdir):
+        lora_root = os.path.join(workdir, "lora")  # no checkpoints → base model
+        out_root = os.path.join(workdir, "out")
+        run_sweep(
+            pipe, lora_root, out_root,
+            identities=["0"], models_to_test=("ID-Booth",),
+            num_prompts=n_prompts, num_inference_steps=30,
+            guidance_scale=5.0, batch_size=n_prompts, seed=0,
+        )
+        gen_dir = os.path.join(out_root, "ID-Booth")
+        fiqa.score_dataset(gen_dir, quality_fn, os.path.join(workdir, "fiqa.txt"))
+        pose.estimate_dataset_poses(gen_dir, pose_fn, os.path.join(workdir, "poses.json"))
+
+    with tempfile.TemporaryDirectory() as wd:
+        one_pass(wd)  # compile warmup
+    times = []
+    for _ in range(repeats):
+        with tempfile.TemporaryDirectory() as wd:
+            t0 = time.perf_counter()
+            one_pass(wd)
+            times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts, 30-step CFG + FIQA + pose)",
+        "value": round(n_prompts / best, 3),
+        "unit": "img/s",
+        "vs_baseline": round(n_prompts / best / 30.0, 3),
+        "extra": {"pass_s": round(best, 2), "device": str(jax.devices()[0])},
     }
 
 
@@ -170,6 +242,9 @@ def main():
         return
     if kind == "embed":
         print(json.dumps(bench_embed(int(os.environ.get("BENCH_BATCH", "256")), repeats)))
+        return
+    if kind == "sweep":
+        print(json.dumps(bench_sweep(repeats)))
         return
 
     ablate = os.environ.get("BENCH_ABLATE", "")
