@@ -52,6 +52,23 @@ LOG2E = 1.4426950408889634
 # scheduling) — packing to d=128 is still ours; cross-attention (kv_len)
 # keeps the in-house kernel
 _IMPL = _os.environ.get("FLASH_IMPL", "own")
+# FLASH_MXU_SUM: compute the softmax row-sum l on the MXU instead of a VPU
+# reduction, by folding a ones-column block into the packed PV matmul's
+# otherwise-discarded lanes (p_a·[va|1] puts sum(p_a) in lanes >= d). The
+# kernel is VPU-reduction-bound (STATUS.md roofline), so deleting the two
+# (bq, bk) row-sum passes per block is the main remaining forward lever.
+_MXU_SUM = _os.environ.get("FLASH_MXU_SUM", "1") == "1"
+# FLASH_BWD: auto (Pallas backward for the packed d=64 path, reference
+# recompute otherwise) | pallas | reference. The round-2 finding that the
+# recompute-backward loses to XLA saved-residuals (3.27 vs 3.93 train-imgs/s)
+# motivated a real fused backward: it saves only (o, lse) row statistics
+# instead of the O(S²) softmax weights, and has no VPU reductions at all
+# (D = rowsum(dO∘O) is precomputed outside the kernel).
+_BWD = _os.environ.get("FLASH_BWD", "auto")
+# backward block sizes: the bwd kernels hold more live (bq, bk) fp32
+# temporaries (s, p, dp, ds per head) than the forward, so default smaller
+DEFAULT_BWD_BLOCK_Q = int(_os.environ.get("FLASH_BWD_BLOCK_Q", "512"))
+DEFAULT_BWD_BLOCK_K = int(_os.environ.get("FLASH_BWD_BLOCK_K", "512"))
 
 
 def flash_supported(q, k, v) -> bool:
@@ -71,7 +88,12 @@ def flash_supported(q, k, v) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k,
+                save_lse=False):
+    if save_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        (acc_ref, m_ref, l_ref), lse_ref = rest, None
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -112,6 +134,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_
     @pl.when(j == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0] = jnp.broadcast_to(
+                m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[1:]
+            )
 
 
 def _cap_blocks_for_dim(block_q, block_k, d):
@@ -126,8 +152,11 @@ def _cap_blocks_for_dim(block_q, block_k, d):
     return block_q, block_k
 
 
-def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
-    """q: (BH, Sq, D); k, v: (BH, Skv, D). Returns (BH, Sq, D)."""
+def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret,
+                  save_lse=False):
+    """q: (BH, Sq, D); k, v: (BH, Skv, D). Returns (BH, Sq, D), plus a
+    (BH, Sq, 128) fp32 per-row log-sum-exp (value broadcast across lanes)
+    when save_lse."""
     bh, sq, d = q.shape
     skv = k.shape[1]
 
@@ -147,13 +176,24 @@ def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
 
     grid = (bh, sq_p // block_q, skv_p // block_k)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+        save_lse=save_lse,
     )
     compiler_params = None
     if pltpu is not None and not interpret:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         )
+    o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype)
+    if save_lse:
+        out_specs = (
+            o_spec,
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32))
+    else:
+        out_specs = o_spec
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -162,8 +202,8 @@ def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -172,13 +212,19 @@ def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret):
         compiler_params=compiler_params,
         interpret=interpret,
     )(q, k, v)
+    if save_lse:
+        out, lse = out
+        if pad_q:
+            out, lse = out[:, :sq], lse[:, :sq]
+        return out, lse
     if pad_q:
         out = out[:, :sq]
     return out
 
 
 def _fwd_kernel_packed(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k, d
+    q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k, d,
+    mxu_sum, save_lse=False,
 ):
     """Two heads packed side-by-side in the 128-lane dim ([qa|qb], d=64 each).
 
@@ -187,7 +233,15 @@ def _fwd_kernel_packed(
     heads in disjoint column halves; the online softmax runs per half with
     the (m, l) state stored columnwise (lanes < d hold head a's statistics).
     All tile loads are full-lane — the half-lane padding waste of running
-    d=64 heads through the plain kernel disappears."""
+    d=64 heads through the plain kernel disappears.
+
+    With save_lse, an extra output carries the per-row log-sum-exp (lanes < d
+    hold head a's, upper lanes head b's) — the only residual the Pallas
+    backward needs beyond (q, k, v, o)."""
+    if save_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        (acc_ref, m_ref, l_ref), lse_ref = rest, None
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -231,21 +285,15 @@ def _fwd_kernel_packed(
         # kernel is softmax-VPU-bound; statistics (m, l) stay fp32
         p_a = jnp.exp((s_a - m_new_a).astype(jnp.bfloat16))
         p_b = jnp.exp((s_b - m_new_b).astype(jnp.bfloat16))
-        l_a = jnp.sum(p_a, axis=1, keepdims=True, dtype=jnp.float32)
-        l_b = jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
     elif _EXP2:
         # bench knob: exp(x) = 2^(x·log2 e) — exp2 is the VPU-native
         # transcendental; one (bq,1) rescale of m replaces per-element work.
         # Exact up to one extra fp32 multiply per element.
         p_a = jnp.exp2((s_a - m_new_a) * LOG2E)
         p_b = jnp.exp2((s_b - m_new_b) * LOG2E)
-        l_a = jnp.sum(p_a, axis=1, keepdims=True)
-        l_b = jnp.sum(p_b, axis=1, keepdims=True)
     else:
         p_a = jnp.exp(s_a - m_new_a)
         p_b = jnp.exp(s_b - m_new_b)
-        l_a = jnp.sum(p_a, axis=1, keepdims=True)
-        l_b = jnp.sum(p_b, axis=1, keepdims=True)
 
     lane_lo = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < d  # (bq, 2d)
     alpha = jnp.where(
@@ -253,12 +301,36 @@ def _fwd_kernel_packed(
     )
 
     dn_av = (((1,), (0,)), ((), ()))
-    d_a = jax.lax.dot_general(
-        p_a.astype(v.dtype), v, dn_av, preferred_element_type=jnp.float32
-    )  # lanes < d hold pa·va; upper lanes (pa·vb) are discarded by the select
-    d_b = jax.lax.dot_general(
-        p_b.astype(v.dtype), v, dn_av, preferred_element_type=jnp.float32
-    )
+    pa = p_a.astype(v.dtype)
+    pb = p_b.astype(v.dtype)
+    if mxu_sum:
+        # Row-sum on the MXU: the packed PV matmul wastes half its lanes
+        # (pa·vb / pb·va are discarded by the select below). Replacing the
+        # dead half of V with ones makes those lanes compute sum(p) instead:
+        # d_a = p_a·[va|1] → lanes >= d all hold sum(p_a) (head b mirrored).
+        # Deletes both (bq, bk) VPU row-sum reductions per block; padded KV
+        # rows contribute nothing since their p is exactly 0.
+        one = jnp.ones((), v.dtype)
+        lane_lo_v = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < d
+        d_a = jax.lax.dot_general(
+            pa, jnp.where(lane_lo_v, v, one), dn_av,
+            preferred_element_type=jnp.float32,
+        )
+        d_b = jax.lax.dot_general(
+            pb, jnp.where(lane_lo_v, one, v), dn_av,
+            preferred_element_type=jnp.float32,
+        )
+        l_a = d_a[:, d : d + 1]
+        l_b = d_b[:, :1]
+    else:
+        l_a = jnp.sum(p_a, axis=1, keepdims=True, dtype=jnp.float32)
+        l_b = jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
+        d_a = jax.lax.dot_general(
+            pa, v, dn_av, preferred_element_type=jnp.float32
+        )  # lanes < d hold pa·va; upper lanes (pa·vb) are discarded below
+        d_b = jax.lax.dot_general(
+            pb, v, dn_av, preferred_element_type=jnp.float32
+        )
     acc_ref[:] = acc_ref[:] * alpha + jnp.where(lane_lo, d_a, d_b)
     m_ref[:] = jnp.where(lane_lo, m_new_a, m_new_b)
     l_ref[:] = l_ref[:] * alpha + jnp.where(lane_lo, l_a, l_b)
@@ -266,11 +338,17 @@ def _fwd_kernel_packed(
     @pl.when(j == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
-def _flash_fwd_3d_packed(q, k, v, scale, kv_len, block_q, block_k, interpret, d):
+def _flash_fwd_3d_packed(
+    q, k, v, scale, kv_len, block_q, block_k, interpret, d, mxu_sum=None,
+    save_lse=False,
+):
     """q: (BH2, Sq, 2d); k, v: (BH2, Skv, 2d) with two d-dim heads packed in
-    the last axis. Returns (BH2, Sq, 2d)."""
+    the last axis. Returns (BH2, Sq, 2d), plus the fp32 lse array of the same
+    shape when save_lse (lanes < d: head a, lanes >= d: head b)."""
     bh2, sq, d2 = q.shape
     skv = k.shape[1]
 
@@ -289,23 +367,31 @@ def _flash_fwd_3d_packed(q, k, v, scale, kv_len, block_q, block_k, interpret, d)
 
     grid = (bh2, sq_p // block_q, skv_p // block_k)
     kernel = functools.partial(
-        _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_k=block_k, d=d
+        _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_k=block_k, d=d,
+        mxu_sum=_MXU_SUM if mxu_sum is None else mxu_sum, save_lse=save_lse,
     )
     compiler_params = None
     if pltpu is not None and not interpret:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         )
+    q_spec = pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh2, sq_p, d2), q.dtype)
+    if save_lse:
+        out_specs = (q_spec, q_spec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct((bh2, sq_p, d2), jnp.float32))
+    else:
+        out_specs = q_spec
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0)),
+            q_spec,
             pl.BlockSpec((1, block_k, d2), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d2), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh2, sq_p, d2), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, d2), jnp.float32),
             pltpu.VMEM((block_q, d2), jnp.float32),
@@ -314,25 +400,466 @@ def _flash_fwd_3d_packed(q, k, v, scale, kv_len, block_q, block_k, interpret, d)
         compiler_params=compiler_params,
         interpret=interpret,
     )(q, k, v)
+    if save_lse:
+        out, lse = out
+        if pad_q:
+            out, lse = out[:, :sq], lse[:, :sq]
+        return out, lse
     if pad_q:
         out = out[:, :sq]
     return out
+
+
+def _bwd_kernel_plain_dkv(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, kv_len, block_k,
+):
+    """Plain-layout (d % 128 == 0) flash backward, dk/dv pass. Same
+    structure as the packed variant without the lane tricks; q arrives with
+    the fwd scale pre-folded. Serves the VAE's single 512-dim head, whose
+    reference-recompute backward would otherwise materialize 4096² logits."""
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]  # (bq, 1) fp32
+    dd = dd_ref[0][:, :1]
+
+    dn_t = (((1,), (1,)), ((), ()))
+    dn_r = (((0,), (0,)), ((), ()))
+    s = jax.lax.dot_general(q, k, dn_t, preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        pos = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse).astype(v.dtype)
+    dv_acc[:] += jax.lax.dot_general(p, do, dn_r, preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, dn_t, preferred_element_type=jnp.float32)
+    ds = (p.astype(jnp.float32) * (dp - dd)).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(ds, q, dn_r, preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_kernel_plain_dq(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, dq_ref, dq_acc,
+    *, scale, kv_len, block_k,
+):
+    """Plain-layout flash backward, dq pass (kv innermost-sequential)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    dd = dd_ref[0][:, :1]
+
+    dn_t = (((1,), (1,)), ((), ()))
+    dn_n = (((1,), (0,)), ((), ()))
+    s = jax.lax.dot_general(q, k, dn_t, preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, dn_t, preferred_element_type=jnp.float32)
+    ds = (p * (dp - dd)).astype(q.dtype)
+    dq_acc[:] += jax.lax.dot_general(ds, k, dn_n, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _fin():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_3d_plain(
+    q, k, v, o, lse, do, scale, kv_len, block_q, block_k, interpret
+):
+    """Plain-layout backward over (BH, S, D) with D % 128 == 0; lse is the
+    (BH, S, 128) stat array from `_flash_fwd_3d(save_lse=True)`. q arrives
+    UNscaled; the fwd scale is folded here and unfolded in the dq finalize."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    block_q, block_k = _cap_blocks_for_dim(block_q, block_k, d)
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    pad_q = (-sq) % block_q
+    pad_k = (-skv) % block_k
+    if pad_k and kv_len is None:
+        kv_len = skv
+
+    q = (q * jnp.asarray(scale, q.dtype)) if scale != 1.0 else q
+    prod = do.astype(jnp.float32) * o.astype(jnp.float32)
+    dd = jnp.broadcast_to(
+        jnp.sum(prod, axis=-1, keepdims=True), (bh, sq, 128)
+    )
+
+    if pad_q:
+        qpad = ((0, 0), (0, pad_q), (0, 0))
+        q, do = jnp.pad(q, qpad), jnp.pad(do, qpad)
+        lse, dd = jnp.pad(lse, qpad), jnp.pad(dd, qpad)
+    if pad_k:
+        kpad = ((0, 0), (0, pad_k), (0, 0))
+        k, v = jnp.pad(k, kpad), jnp.pad(v, kpad)
+    sq_p, skv_p = sq + pad_q, skv + pad_k
+
+    compiler_params = None
+    if pltpu is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+
+    dkv_kernel = functools.partial(
+        _bwd_kernel_plain_dkv, kv_len=kv_len, block_k=block_k
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, skv_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, jk, i: (b, jk, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, jk, i: (b, jk, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, jk, i: (b, jk, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, jk, i: (b, jk, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q, do, lse, dd, k, v)
+
+    dq_kernel = functools.partial(
+        _bwd_kernel_plain_dq, scale=scale, kv_len=kv_len, block_k=block_k
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, sq_p // block_q, skv_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, jk: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, jk: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, jk: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, jk: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, jk: (b, jk, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, jk: (b, jk, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, jk: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q, do, lse, dd, k, v)
+
+    if pad_q:
+        dq = dq[:, :sq]
+    if pad_k:
+        dk, dv = dk[:, :skv], dv[:, :skv]
+    return dq, dk, dv
+
+
+def _bwd_kernel_packed_dkv(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, kv_len, block_k, d,
+):
+    """Packed-layout flash backward, dk/dv pass (FlashAttention-2 eq. 13-21).
+
+    Grid (BH2, nk, nq) with the q dim innermost-sequential; dk/dv accumulate
+    in fp32 VMEM scratch and are written once at the final q block. Inputs
+    carry the fwd scale folded into q, so dk = dsᵀ·q_scaled needs no extra
+    scale. p is recomputed NORMALIZED from the saved lse (p̃ = exp(s − lse)),
+    so there are no reductions anywhere — unlike the forward, this kernel is
+    pure MXU + elementwise."""
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]    # (bq, 2d), scale pre-folded
+    k = k_ref[0]    # (bk, 2d)
+    v = v_ref[0]
+    do = do_ref[0]  # (bq, 2d)
+    lse = lse_ref[0]  # (bq, 2d) fp32; col 0 → head a, col d → head b
+    dd = dd_ref[0]    # (bq, 2d) fp32 rowsum(dO∘O) per lane half
+
+    zero = jnp.zeros((), q.dtype)
+    lane_lo_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) < d
+    q_lo = jnp.where(lane_lo_q, q, zero)
+    q_hi = jnp.where(lane_lo_q, zero, q)
+    do_lo = jnp.where(lane_lo_q, do, zero)
+    do_hi = jnp.where(lane_lo_q, zero, do)
+
+    dn_t = (((1,), (1,)), ((), ()))   # contract lanes: (bq,2d)·(bk,2d) → (bq,bk)
+    dn_r = (((0,), (0,)), ((), ()))   # contract rows:  (bq,bk)·(bq,2d) → (bk,2d)
+    s_a = jax.lax.dot_general(q_lo, k, dn_t, preferred_element_type=jnp.float32)
+    s_b = jax.lax.dot_general(q_hi, k, dn_t, preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        pos = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s_a.shape, 1
+        )
+        live = pos < kv_len
+        s_a = jnp.where(live, s_a, NEG_INF)
+        s_b = jnp.where(live, s_b, NEG_INF)
+    p_a = jnp.exp(s_a - lse[:, :1]).astype(v.dtype)   # normalized p̃
+    p_b = jnp.exp(s_b - lse[:, d : d + 1]).astype(v.dtype)
+
+    dv_acc[:] += jax.lax.dot_general(
+        p_a, do_lo, dn_r, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(p_b, do_hi, dn_r, preferred_element_type=jnp.float32)
+
+    dp_a = jax.lax.dot_general(do_lo, v, dn_t, preferred_element_type=jnp.float32)
+    dp_b = jax.lax.dot_general(do_hi, v, dn_t, preferred_element_type=jnp.float32)
+    ds_a = (p_a.astype(jnp.float32) * (dp_a - dd[:, :1])).astype(q.dtype)
+    ds_b = (p_b.astype(jnp.float32) * (dp_b - dd[:, d : d + 1])).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        ds_a, q_lo, dn_r, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(ds_b, q_hi, dn_r, preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_kernel_packed_dq(
+    q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, dq_ref, dq_acc,
+    *, scale, kv_len, block_k, d,
+):
+    """Packed-layout flash backward, dq pass. Grid (BH2, nq, nk) with the kv
+    dim innermost-sequential. q carries the fwd scale, so the finalize
+    multiplies by `scale` once to convert d(loss)/d(q·scale) → d(loss)/dq."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    dd = dd_ref[0]
+
+    zero = jnp.zeros((), q.dtype)
+    lane_lo_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) < d
+    q_lo = jnp.where(lane_lo_q, q, zero)
+    q_hi = jnp.where(lane_lo_q, zero, q)
+    do_lo = jnp.where(lane_lo_q, do, zero)
+    do_hi = jnp.where(lane_lo_q, zero, do)
+
+    dn_t = (((1,), (1,)), ((), ()))
+    dn_n = (((1,), (0,)), ((), ()))   # (bq,bk)·(bk,2d) → (bq,2d)
+    s_a = jax.lax.dot_general(q_lo, k, dn_t, preferred_element_type=jnp.float32)
+    s_b = jax.lax.dot_general(q_hi, k, dn_t, preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s_a.shape, 1)
+        live = pos < kv_len
+        s_a = jnp.where(live, s_a, NEG_INF)
+        s_b = jnp.where(live, s_b, NEG_INF)
+    p_a = jnp.exp(s_a - lse[:, :1])
+    p_b = jnp.exp(s_b - lse[:, d : d + 1])
+
+    dp_a = jax.lax.dot_general(do_lo, v, dn_t, preferred_element_type=jnp.float32)
+    dp_b = jax.lax.dot_general(do_hi, v, dn_t, preferred_element_type=jnp.float32)
+    ds_a = (p_a * (dp_a - dd[:, :1])).astype(q.dtype)
+    ds_b = (p_b * (dp_b - dd[:, d : d + 1])).astype(q.dtype)
+
+    g_a = jax.lax.dot_general(ds_a, k, dn_n, preferred_element_type=jnp.float32)
+    g_b = jax.lax.dot_general(ds_b, k, dn_n, preferred_element_type=jnp.float32)
+    lane_lo = jax.lax.broadcasted_iota(jnp.int32, dq_acc.shape, 1) < d
+    dq_acc[:] += jnp.where(lane_lo, g_a, g_b)
+
+    @pl.when(j == nj - 1)
+    def _fin():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_3d_packed(
+    q, k, v, o, lse, do, scale, kv_len, block_q, block_k, interpret, d
+):
+    """Packed-layout backward: all of (q, k, v, o, lse, do) are
+    (BH2, S, 2d) with q pre-scaled by the fwd scale. Returns (dq, dk, dv)
+    w.r.t. the UNscaled packed inputs."""
+    bh2, sq, d2 = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    pad_q = (-sq) % block_q
+    pad_k = (-skv) % block_k
+    if pad_k and kv_len is None:
+        kv_len = skv
+
+    # D = rowsum(dO ∘ O) per lane half, broadcast back to (.., 2d) so the
+    # kernels read one aligned fp32 tile and slice columns 0 / d.
+    prod = (do.astype(jnp.float32)) * (o.astype(jnp.float32))
+    lane_lo = jnp.arange(d2) < d
+    dd = jnp.where(
+        lane_lo,
+        jnp.sum(prod[..., :d], axis=-1, keepdims=True),
+        jnp.sum(prod[..., d:], axis=-1, keepdims=True),
+    )
+
+    if pad_q:
+        qpad = ((0, 0), (0, pad_q), (0, 0))
+        q, do = jnp.pad(q, qpad), jnp.pad(do, qpad)
+        lse, dd = jnp.pad(lse, qpad), jnp.pad(dd, qpad)
+    if pad_k:
+        kpad = ((0, 0), (0, pad_k), (0, 0))
+        k, v = jnp.pad(k, kpad), jnp.pad(v, kpad)
+    sq_p, skv_p = sq + pad_q, skv + pad_k
+
+    q_spec = pl.BlockSpec((1, block_q, d2), lambda b, x, y: (b, x, 0))
+    compiler_params = None
+    if pltpu is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+
+    # dk/dv pass: kv blocks outer-parallel, q blocks inner-sequential
+    dkv_kernel = functools.partial(
+        _bwd_kernel_packed_dkv, kv_len=kv_len, block_k=block_k, d=d
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh2, skv_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d2), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d2), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d2), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d2), lambda b, jk, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, jk, i: (b, jk, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, jk, i: (b, jk, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d2), lambda b, jk, i: (b, jk, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, jk, i: (b, jk, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh2, skv_p, d2), k.dtype),
+            jax.ShapeDtypeStruct((bh2, skv_p, d2), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d2), jnp.float32),
+            pltpu.VMEM((block_k, d2), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q, do, lse, dd, k, v)
+
+    # dq pass: q blocks outer-parallel, kv blocks inner-sequential
+    dq_kernel = functools.partial(
+        _bwd_kernel_packed_dq, scale=scale, kv_len=kv_len, block_k=block_k, d=d
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh2, sq_p // block_q, skv_p // block_k),
+        in_specs=[
+            q_spec,
+            q_spec,
+            q_spec,
+            q_spec,
+            pl.BlockSpec((1, block_k, d2), lambda b, i, jk: (b, jk, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, i, jk: (b, jk, 0)),
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh2, sq_p, d2), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d2), jnp.float32)],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q, do, lse, dd, k, v)
+
+    if pad_q:
+        dq = dq[:, :sq]
+    if pad_k:
+        dk, dv = dk[:, :skv], dv[:, :skv]
+    return dq, dk, dv
+
+
+def _pack_heads(x, d):
+    """(B, S, H, d) → (B·⌈H/2⌉, S, 2d): adjacent head pairs side-by-side in
+    the 128-lane dim (an odd head count pads one zero head)."""
+    b, s, h, _ = x.shape
+    h2 = h + h % 2
+    if h % 2:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return (
+        x.reshape(b, s, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
+        .reshape(b * h2 // 2, s, 2 * d)
+    )
+
+
+def _unpack_heads(x, b, h, d):
+    """Inverse of `_pack_heads`; drops the odd-head zero pad."""
+    s = x.shape[1]
+    h2 = h + h % 2
+    x = (
+        x.reshape(b, h2 // 2, s, 2 * d).transpose(0, 2, 1, 3)
+        .reshape(b, s, h2, d)
+    )
+    return x[:, :, :h] if h % 2 else x
+
+
+def _pallas_bwd_mode(d: int):
+    """Which fused Pallas backward serves head dim `d`: 'packed' (d=64,
+    two-per-lane-block), 'plain' (d % 128 == 0), or None (reference
+    recompute VJP)."""
+    if _BWD == "reference":
+        return None
+    if d * 2 == 128 and _IMPL != "official":
+        return "packed"
+    if d % 128 == 0:
+        return "plain"
+    return None
 
 
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
 )
 def _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    out, _ = _flash_attention_impl(
+        q, k, v, scale, kv_len, block_q, block_k, interpret, save_lse=False
+    )
+    return out
+
+
+def _flash_attention_impl(
+    q, k, v, scale, kv_len, block_q, block_k, interpret, save_lse
+):
+    """Shared forward. Returns (out, residuals); residuals is the packed
+    (qp·scale, kp, vp, o3, lse) tuple when save_lse, else None."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     if d * 2 == 128:
-        # pack adjacent head pairs into the 128-lane dim; the (h, d) →
-        # (h/2, 2d) reshape is zero-copy in BSHD layout
-        h2 = h + h % 2
-        if h % 2:
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, 1), (0, 0)))
-            k = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, 1), (0, 0)))
         q = (q * jnp.asarray(scale, q.dtype)) if scale != 1.0 else q  # fold scale
         if _IMPL == "official" and kv_len is None and skv >= 256 and not interpret:
             # the upstream kernel requires kv_seq_len >= its block sizes;
@@ -341,31 +868,86 @@ def _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret):
                 flash_attention as _official,
             )
 
+            h2 = h + h % 2
+            if h % 2:
+                q = jnp.pad(q, ((0, 0), (0, 0), (0, 1), (0, 0)))
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, 1), (0, 0)))
             qo = q.reshape(b, sq, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
             ko = k.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
             vo = v.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3)
             o = _official(qo, ko, vo, causal=False, sm_scale=1.0)
             o = o.transpose(0, 2, 1, 3).reshape(b, sq, h2, d)
-            return o[:, :, :h] if h % 2 else o
-        qp = q.reshape(b, sq, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, sq, 2 * d)
-        kp = k.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, skv, 2 * d)
-        vp = v.reshape(b, skv, h2 // 2, 2 * d).transpose(0, 2, 1, 3).reshape(b * h2 // 2, skv, 2 * d)
-        o = _flash_fwd_3d_packed(qp, kp, vp, 1.0, kv_len, block_q, block_k, interpret, d)
-        o = o.reshape(b, h2 // 2, sq, 2 * d).transpose(0, 2, 1, 3).reshape(b, sq, h2, d)
-        return o[:, :, :h] if h % 2 else o
+            return (o[:, :, :h] if h % 2 else o), None
+        qp = _pack_heads(q, d)
+        kp = _pack_heads(k, d)
+        vp = _pack_heads(v, d)
+        res = _flash_fwd_3d_packed(
+            qp, kp, vp, 1.0, kv_len, block_q, block_k, interpret, d,
+            save_lse=save_lse,
+        )
+        if save_lse:
+            o3, lse = res
+            return _unpack_heads(o3, b, h, d), (qp, kp, vp, o3, lse)
+        return _unpack_heads(res, b, h, d), None
     q3 = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     k3 = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     v3 = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     o3 = _flash_fwd_3d(q3, k3, v3, scale, kv_len, block_q, block_k, interpret)
-    return o3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return o3.reshape(b, h, sq, d).transpose(0, 2, 1, 3), None
 
 
 def _flash_fwd_rule(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    mode = _pallas_bwd_mode(q.shape[-1])
+    if mode == "packed":
+        out, res = _flash_attention_impl(
+            q, k, v, scale, kv_len, block_q, block_k, interpret, save_lse=True
+        )
+        return out, res
+    if mode == "plain":
+        b, sq, h, d = q.shape
+        skv = k.shape[1]
+        q3 = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+        k3 = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+        v3 = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+        o3, lse = _flash_fwd_3d(
+            q3, k3, v3, scale, kv_len, block_q, block_k, interpret,
+            save_lse=True,
+        )
+        return o3.reshape(b, h, sq, d).transpose(0, 2, 1, 3), (q3, k3, v3, o3, lse)
     out = _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret)
     return out, (q, k, v)
 
 
 def _flash_bwd_rule(scale, kv_len, block_q, block_k, interpret, res, g):
+    mode = _pallas_bwd_mode(g.shape[-1])
+    if mode == "packed":
+        qp, kp, vp, o3, lse = res
+        b, sq, h, d = g.shape
+        g3 = _pack_heads(g.astype(qp.dtype), d)
+        dq3, dk3, dv3 = _flash_bwd_3d_packed(
+            qp, kp, vp, o3, lse, g3, scale, kv_len,
+            DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K, interpret, d,
+        )
+        return (
+            _unpack_heads(dq3, b, h, d),
+            _unpack_heads(dk3, b, h, d),
+            _unpack_heads(dv3, b, h, d),
+        )
+    if mode == "plain":
+        q3, k3, v3, o3, lse = res
+        b, sq, h, d = g.shape
+        skv = k3.shape[1]
+        g3 = g.transpose(0, 2, 1, 3).reshape(b * h, sq, d).astype(q3.dtype)
+        dq3, dk3, dv3 = _flash_bwd_3d_plain(
+            q3, k3, v3, o3, lse, g3, scale, kv_len,
+            DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K, interpret,
+        )
+        return (
+            dq3.reshape(b, h, sq, d).transpose(0, 2, 1, 3),
+            dk3.reshape(b, h, skv, d).transpose(0, 2, 1, 3),
+            dv3.reshape(b, h, skv, d).transpose(0, 2, 1, 3),
+        )
     from .attention import _reference_attention
 
     q, k, v = res

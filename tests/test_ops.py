@@ -65,6 +65,81 @@ def test_flash_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "sq,skv,h,kv_len",
+    [(256, 256, 2, None), (200, 200, 5, None), (128, 128, 2, 77), (256, 77, 3, None)],
+)
+def test_flash_pallas_backward_matches_reference(sq, skv, h, kv_len):
+    """The fused Pallas backward (dq/dkv kernels recomputing p from the saved
+    lse) must match the reference einsum VJP — incl. odd head counts (zero-pad
+    head), unaligned sequence padding, and masked KV columns."""
+    q, k, v = _qkv(7, 2, sq, skv, h, 64)
+    if kv_len is not None:
+        ref_in = (q, k[:, :kv_len], v[:, :kv_len])
+    else:
+        ref_in = (q, k, v)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, kv_len=kv_len, block_q=128, block_k=128, interpret=True
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, 64**-0.5, None) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(*ref_in)
+    for a, b in zip(gf, gr):
+        if kv_len is not None and a.shape[1] != b.shape[1]:
+            np.testing.assert_allclose(  # padded KV rows get zero grads
+                np.asarray(a[:, kv_len:]), 0.0, atol=1e-6
+            )
+            a = a[:, :kv_len]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_flash_pallas_backward_plain_d128():
+    """The plain-path (d % 128 == 0) Pallas backward — serving the VAE's
+    wide single head — must match the reference VJP."""
+    q, k, v = _qkv(8, 1, 256, 256, 1, 128)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, 128**-0.5, None) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_flash_packed_mxu_sum_matches_vpu_sum():
+    """The MXU row-sum trick (l from the PV matmul's dead packed lanes) must
+    agree with the VPU-reduction path: exactly in fp32 (p is not rounded
+    before the dot), and to bf16 tolerance for bf16 inputs."""
+    from faceposegenerator_tpu.ops.flash_attention import _flash_fwd_3d_packed
+
+    kq, kk, kv = jax.random.split(jax.random.key(9), 3)
+    for dtype, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+        q = jax.random.normal(kq, (2, 256, 128), dtype)  # 2 packed d=64 heads
+        k = jax.random.normal(kk, (2, 256, 128), dtype)
+        v = jax.random.normal(kv, (2, 256, 128), dtype)
+        a = _flash_fwd_3d_packed(q, k, v, 0.125, None, 128, 128, True, 64, mxu_sum=True)
+        b = _flash_fwd_3d_packed(q, k, v, 0.125, None, 128, 128, True, 64, mxu_sum=False)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=atol, rtol=atol
+        )
+    # masked KV: padded rows must contribute nothing through the ones-column
+    q, k, v = _qkv(10, 1, 128, 128, 2, 64)
+    ref = _reference_attention(q, k[:, :77], v[:, :77], 64**-0.5, None)
+    out = flash_attention(q, k, v, kv_len=77, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_dispatch_reference_on_cpu():
     q, k, v = _qkv(4, 1, 64, 64, 1, 32)
     out = dot_product_attention(q, k, v)  # auto → reference on CPU
