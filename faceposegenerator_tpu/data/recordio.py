@@ -97,11 +97,36 @@ def write_records(rec_path: str, idx_path: str, records: List[Tuple[np.ndarray, 
 
 
 class MXFaceDataset:
-    """RecordIO-backed FR dataset: (image [-1,1] NHWC fp32, int label)."""
+    """RecordIO-backed FR dataset: (image [-1,1] NHWC fp32, int label).
 
-    def __init__(self, rec_path: str, idx_path: Optional[str] = None, image_size: int = 112):
+    `batches()` rides the native C++ loader (`faceposegenerator_tpu.native`)
+    when it is buildable — pread record extraction + thread-parallel libjpeg
+    decode/resize/normalize straight into the batch array, GIL released —
+    and falls back to the per-item PIL path otherwise. This owns the layer
+    the reference delegates to mxnet's native RecordIO/imdecode
+    (`FR_training/utils/dataset.py:73-120`).
+    """
+
+    def __init__(
+        self,
+        rec_path: str,
+        idx_path: Optional[str] = None,
+        image_size: int = 112,
+        use_native: Optional[bool] = None,
+        decode_threads: int = 8,
+    ):
         self.rec_path = rec_path
         self.image_size = image_size
+        self.decode_threads = decode_threads
+        self._native = None
+        if use_native is not False:
+            from .. import native as _native_pkg
+
+            self._native = _native_pkg.load()
+            if use_native is True and self._native is None:
+                raise RuntimeError(
+                    f"native loader requested but unavailable: {_native_pkg.build_error()}"
+                )
         idx_path = idx_path or os.path.splitext(rec_path)[0] + ".idx"
         self.offsets = read_idx(idx_path)
         self.keys = sorted(self.offsets)
@@ -132,6 +157,20 @@ class MXFaceDataset:
         x = np.asarray(img, np.float32) / 255.0
         return (x - 0.5) / 0.5, int(labels[0])
 
+    def _batch_native(self, idx: np.ndarray) -> dict:
+        """One batch via the C extension: pread the records, decode all JPEGs
+        thread-parallel into a preallocated [-1,1] fp32 NHWC array."""
+        offs = [self.offsets[self.image_keys[i]] for i in idx]
+        recs = self._native.read_records(self.rec_path, offs)
+        labels = np.asarray(
+            [np.frombuffer(lab, np.float32)[0] for lab, _ in recs], np.int32
+        )
+        out = np.empty((len(idx), self.image_size, self.image_size, 3), np.float32)
+        self._native.decode_batch(
+            [payload for _, payload in recs], out, self.image_size, self.decode_threads
+        )
+        return {"images": out, "labels": labels}
+
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True):
         order = np.arange(len(self))
         if shuffle:
@@ -139,6 +178,13 @@ class MXFaceDataset:
         n = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
         for bi in range(n):
             idx = order[bi * batch_size : (bi + 1) * batch_size]
+            if self._native is not None:
+                try:
+                    yield self._batch_native(idx)
+                    continue
+                except ValueError:
+                    # corrupt/non-JPEG payload → per-item PIL path for this batch
+                    pass
             imgs, labels = zip(*(self[i] for i in idx))
             yield {
                 "images": np.stack(imgs).astype(np.float32),
