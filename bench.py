@@ -37,6 +37,7 @@ def bench_train(batch: int, repeats: int):
       BENCH_LOSS   ""|identity|triplet_prior (default triplet_prior) — "";
                    drops the whole x̂0→decode→ArcFace identity branch
       BENCH_REMAT  1 turns on jax.checkpoint around UNet blocks
+      BENCH_REMAT_ID 1 remats the identity branch (VAE-decode backward)
       BENCH_ATTN   auto|flash|reference (threaded into the UNet)
     """
     from faceposegenerator_tpu.core.precision import Policy
@@ -46,7 +47,8 @@ def bench_train(batch: int, repeats: int):
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     which_loss = os.environ.get("BENCH_LOSS", "triplet_prior")
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    attn = os.environ.get("BENCH_ATTN", "reference")  # see ModelBundle.attn_impl
+    remat_id = os.environ.get("BENCH_REMAT_ID", "0") == "1"
+    attn = os.environ.get("BENCH_ATTN", "auto")  # flash w/ Pallas bwd (see ModelBundle.attn_impl)
     bundle = idbooth.ModelBundle(arcface_cfg=iresnet.config_for("r100"), attn_impl=attn)
     ap, ast = iresnet.init(jax.random.key(3), bundle.arcface_cfg)
     frozen = {
@@ -57,7 +59,7 @@ def bench_train(batch: int, repeats: int):
     }
     cfg = idbooth.IDBoothConfig(
         which_loss=which_loss, train_batch_size=batch,
-        gradient_checkpointing=remat,
+        gradient_checkpointing=remat, remat_identity=remat_id,
     )
     trainable = idbooth.init_trainable(jax.random.key(4), cfg, bundle, frozen["unet"])
     import optax
@@ -81,7 +83,7 @@ def bench_train(batch: int, repeats: int):
     best = min(times)
     return {
         "metric": f"ID-Booth train imgs/sec/chip 512x512 loss={which_loss or 'mse'} bs{batch}(+prior)"
-        + (" remat" if remat else ""),
+        + (" remat" if remat else "") + (" remat_id" if remat_id else ""),
         "value": round(batch / best, 3),
         "unit": "img/s",
         "vs_baseline": round(batch / best, 3),

@@ -1,0 +1,168 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel — single HBM read per image.
+
+The XLA formulation (`ops/norms.group_norm`) reads x twice (stats pass +
+normalize pass fused into the consumer). For the UNet's GN shapes the whole
+per-image (S, C) slab fits VMEM, so this kernel reads each image ONCE:
+stats are accumulated chunk-wise in fp32 from the resident slab, folded
+across each group's channels, and the normalize+SiLU writes straight back
+out — halving GN HBM traffic. Reference semantics: diffusers
+`ResnetBlock2D` norm1/norm2 + SiLU (`train_ID-Booth.py:1040` UNet forward);
+numerics match `ops/norms.group_norm` (fp32 statistics, bf16 in/out).
+
+Design notes (TPU):
+- grid (N,), block = the full (1, S, C) slab; double-buffered DMA per image.
+  Eligibility is capped by slab bytes (see `slab_supported`) so 2·in + 2·out
+  + temporaries stay under the ~16 MB VMEM budget; ineligible shapes
+  (VAE decode's 512²·128 etc.) keep the XLA path.
+- group fold without lane reshapes: per-channel sums (1, C) are folded into
+  per-channel *group* means by one tiny MXU matmul against a (C, C)
+  group-averaging matrix M[i,j] = (group(i)==group(j))/(C/G · S), built once
+  from iota in VMEM scratch on the first grid step. Mosaic lowers
+  iota/compare/dot reliably; a (C,)→(G, C/G) lane reshape would not.
+- stats accumulate in (8, C) fp32 scratch via row-chunked widening sums, so
+  no full-slab fp32 temporary ever materializes.
+
+Backward: custom_vjp recomputing through the XLA formulation — GN backward
+saves nothing worth a bespoke kernel (stats are cheap to rebuild and the
+train step's GN time is negligible; STATUS.md ablation: 0.31 s of 8.85 s).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+
+try:  # CPU test envs: pallas TPU backend may be absent
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+_GN_IMPL = _os.environ.get("GN_IMPL", "xla")  # xla | pallas
+# slab cap: 2 (in, bf16) + 2 (out, bf16) double-buffered = 8 B/elem, plus
+# chunk temporaries and M; 720 KiB·4 ≈ 11.5 MB worst case at the cap
+_MAX_SLAB_ELEMS = int(_os.environ.get("GN_MAX_SLAB_ELEMS", str(64 * 64 * 320)))
+_CHUNK_ROWS = 512
+
+
+def slab_supported(n: int, s: int, c: int, num_groups: int) -> bool:
+    """Whether the single-read slab kernel serves this (N, S, C) GN."""
+    if pl is None or pltpu is None:
+        return False
+    if c % num_groups or s % 8:
+        return False
+    rows = min(s, _CHUNK_ROWS)
+    if s % rows:
+        return False
+    return s * c <= _MAX_SLAB_ELEMS
+
+
+def _gn_slab_kernel(
+    x_ref, gamma_ref, beta_ref, o_ref, m_ref, acc_ref, acc2_ref,
+    *, num_groups, eps, act, s, c,
+):
+    rows = min(s, _CHUNK_ROWS)
+    nchunks = s // rows
+    cg = c // num_groups
+
+    @pl.when(pl.program_id(0) == 0)
+    def _build_m():
+        # group-averaging matrix: M[i, j] = (i//cg == j//cg) / (cg * S)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // cg
+        gj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // cg
+        m_ref[:] = jnp.where(gi == gj, 1.0 / (cg * s), 0.0).astype(jnp.float32)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc2_ref[:] = jnp.zeros_like(acc2_ref)
+    for ci in range(nchunks):
+        chunk = x_ref[0, ci * rows : (ci + 1) * rows, :].astype(jnp.float32)
+        acc_ref[:] += jnp.sum(chunk.reshape(rows // 8, 8, c), axis=0)
+        acc2_ref[:] += jnp.sum(
+            jnp.square(chunk).reshape(rows // 8, 8, c), axis=0
+        )
+
+    sums = jnp.sum(acc_ref[:], axis=0, keepdims=True)  # (1, c) fp32
+    sqs = jnp.sum(acc2_ref[:], axis=0, keepdims=True)
+    dn = (((1,), (0,)), ((), ()))
+    mean_c = jax.lax.dot_general(sums, m_ref[:], dn, preferred_element_type=jnp.float32)
+    sq_c = jax.lax.dot_general(sqs, m_ref[:], dn, preferred_element_type=jnp.float32)
+    var_c = sq_c - jnp.square(mean_c)
+    inv = jax.lax.rsqrt(var_c + eps)  # (1, c): per-channel view of group stats
+    scale = inv * gamma_ref[:].astype(jnp.float32)
+    shift = beta_ref[:].astype(jnp.float32) - mean_c * scale
+
+    for ci in range(nchunks):
+        chunk = x_ref[0, ci * rows : (ci + 1) * rows, :].astype(jnp.float32)
+        out = chunk * scale + shift
+        if act == "silu":
+            out = out * jax.nn.sigmoid(out)
+        o_ref[0, ci * rows : (ci + 1) * rows, :] = out.astype(o_ref.dtype)
+
+
+def _gn_slab_call(x3, gamma, beta, num_groups, eps, act, interpret):
+    n, s, c = x3.shape
+    kernel = functools.partial(
+        _gn_slab_kernel, num_groups=num_groups, eps=eps, act=act, s=s, c=c
+    )
+    compiler_params = None
+    if pltpu is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # scratch M persists across n
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), x3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, c), jnp.float32),
+            pltpu.VMEM((8, c), jnp.float32),
+            pltpu.VMEM((8, c), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(x3, gamma.reshape(1, c), beta.reshape(1, c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_group_norm(x, gamma, beta, num_groups=32, eps=1e-6, act=None, interpret=False):
+    """Single-read Pallas GroupNorm(+SiLU) over N...C. Caller must have
+    checked `slab_supported`; numerics match `ops/norms.group_norm`."""
+    n, c = x.shape[0], x.shape[-1]
+    x3 = x.reshape(n, -1, c)
+    out = _gn_slab_call(x3, gamma, beta, num_groups, eps, act, interpret)
+    return out.reshape(x.shape)
+
+
+def _fused_gn_fwd(x, gamma, beta, num_groups, eps, act, interpret):
+    return (
+        fused_group_norm(x, gamma, beta, num_groups, eps, act, interpret),
+        (x, gamma, beta),
+    )
+
+
+def _fused_gn_bwd(num_groups, eps, act, interpret, res, g):
+    from .norms import group_norm as _xla_gn
+
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x_, g_, b_: _xla_gn(x_, g_, b_, num_groups=num_groups, eps=eps, act=act),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+fused_group_norm.defvjp(_fused_gn_fwd, _fused_gn_bwd)
+
+
+def gn_impl() -> str:
+    return _GN_IMPL

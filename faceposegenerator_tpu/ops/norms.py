@@ -31,7 +31,22 @@ def group_norm(
     reductions over a lane-misaligned (…, C/G) trailing dim (C/G is 10–40
     for SD's GN32). The normalize/scale/activation stays fully aligned and
     fuses into the surrounding conv.
+
+    With GN_IMPL=pallas, eligible shapes route to the single-HBM-read slab
+    kernel (`ops/fused_gn.py`); everything else keeps this XLA formulation.
     """
+    from .fused_gn import fused_group_norm, gn_impl, slab_supported
+
+    n_, c_ = x.shape[0], x.shape[-1]
+    s_ = 1
+    for d in x.shape[1:-1]:
+        s_ *= d
+    if (
+        gn_impl() == "pallas"
+        and jax.default_backend() == "tpu"
+        and slab_supported(n_, s_, c_, num_groups)
+    ):
+        return fused_group_norm(x, gamma, beta, num_groups, eps, act)
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]

@@ -58,6 +58,11 @@ class IDBoothConfig(ConfigBase):
     train_batch_size: int = 1
     gradient_accumulation_steps: int = 1
     gradient_checkpointing: bool = False
+    # remat the x̂0→VAE-decode→detect→ArcFace identity branch: its backward
+    # otherwise saves every VAE-decoder activation for the full instance
+    # half at 512² (the multi-GB tensors behind the bs16 HBM OOM —
+    # STATUS.md train table). Costs one extra decode forward when on.
+    remat_identity: bool = False
     num_train_epochs: int = 32
     validation_epochs: int = 8
     checkpointing_epochs: int = 8
@@ -92,11 +97,12 @@ class ModelBundle:
     unet_cfg: unet2d.UNetConfig = unet2d.SD21_UNET_CONFIG
     vae_cfg: vae.VAEConfig = vae.SD_VAE_CONFIG
     arcface_cfg: iresnet.IResNetConfig = iresnet.IResNetConfig()
-    # "reference" for TRAINING: the flash kernel's backward recomputes the
-    # whole attention (memory-for-compute remat), which measured SLOWER than
-    # XLA's saved-residual backward at the ID-Booth shapes (3.27 vs 3.93
-    # train-imgs/s, v5e bs2+prior). Inference samplers use "auto" (flash).
-    attn_impl: str = "reference"
+    # "auto" (flash) since the fused Pallas backward landed: it saves only
+    # (o, lse) row statistics and recomputes normalized p in-kernel, beating
+    # XLA's saved-residual backward at the ID-Booth shapes (measured v5e:
+    # 4.61 vs 3.90 train-imgs/s bs2+prior, 8.93 vs 7.03 bs8+remat). The
+    # earlier recompute-via-reference backward had measured slower (3.27).
+    attn_impl: str = "auto"
 
 
 def full_image_boxes(images: jax.Array):
@@ -222,34 +228,40 @@ def make_loss_fn(
         if cfg.which_loss in ("identity", "triplet_prior"):
             t_inst = timesteps[:b_inst]
             x0 = schedule.pred_original(pred_inst, t_inst, noisy[:b_inst])
-            # decode to [0,255] image (latents_to_image_for_mtcnn, :408-441)
-            img = vae.decode(frozen["vae"], x0, models.vae_cfg, policy)
-            img255 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0) * 255.0
-
-            boxes, found = detect_fn(img255)
-            face = crop_and_resize(img255, boxes, 112)
-            face = (face / 255.0 - 0.5) / 0.5  # cropped_image_to_arcface_input
-            emb, _ = iresnet.apply(
-                frozen["arcface"]["params"], frozen["arcface"]["state"], face,
-                models.arcface_cfg, policy=policy, train=False,
-            )
-
             gt_inst = batch["gt_embeds"][:b_inst]
-            w = jnp.square(1.0 - t_inst.astype(jnp.float32) / T)
-            if not cfg.timestep_loss_weighting:
-                w = jnp.ones_like(w)
-            mask = found.astype(jnp.float32)
-            denom = jnp.maximum(jnp.sum(mask), 1.0)
+            gt_neg = batch["gt_embeds"][b_inst:] if cfg.with_prior_preservation else gt_inst
 
-            if cfg.which_loss == "identity":
-                id_term = 1.0 - _cosine_sim(emb, gt_inst)
-                id_loss = jnp.sum(mask * w * id_term) / denom
-            else:  # triplet_prior
-                gt_neg = batch["gt_embeds"][b_inst:] if cfg.with_prior_preservation else gt_inst
+            def _identity_branch(x0, gt_inst, gt_neg, t_inst):
+                # decode to [0,255] image (latents_to_image_for_mtcnn, :408-441)
+                img = vae.decode(frozen["vae"], x0, models.vae_cfg, policy)
+                img255 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0) * 255.0
+
+                boxes, found = detect_fn(img255)
+                face = crop_and_resize(img255, boxes, 112)
+                face = (face / 255.0 - 0.5) / 0.5  # cropped_image_to_arcface_input
+                emb, _ = iresnet.apply(
+                    frozen["arcface"]["params"], frozen["arcface"]["state"], face,
+                    models.arcface_cfg, policy=policy, train=False,
+                )
+
+                w = jnp.square(1.0 - t_inst.astype(jnp.float32) / T)
+                if not cfg.timestep_loss_weighting:
+                    w = jnp.ones_like(w)
+                mask = found.astype(jnp.float32)
+                denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+                if cfg.which_loss == "identity":
+                    id_term = 1.0 - _cosine_sim(emb, gt_inst)
+                    return jnp.sum(mask * w * id_term) / denom
+                # triplet_prior
                 d_ap = 1.0 - _cosine_sim(emb, gt_inst)
                 d_an = 1.0 - _cosine_sim(emb, gt_neg)
                 trip = jnp.maximum(d_ap - d_an + cfg.triplet_margin, 0.0)
-                id_loss = jnp.sum(mask * w * trip) / denom
+                return jnp.sum(mask * w * trip) / denom
+
+            if cfg.remat_identity:
+                _identity_branch = jax.checkpoint(_identity_branch)
+            id_loss = _identity_branch(x0, gt_inst, gt_neg, t_inst)
             loss = loss + id_loss
             metrics["id_loss"] = id_loss
 

@@ -153,3 +153,29 @@ def test_text_lora_init_uses_seed_key():
     l0 = np.asarray(t_a["text_lora"]["layer_0"]["q"]["a"])
     l1 = np.asarray(t_a["text_lora"]["layer_1"]["q"]["a"])
     assert not np.allclose(l0, l1)
+
+
+def test_remat_identity_matches_no_remat():
+    """remat_identity must be a pure memory knob: identical loss AND grads
+    (jax.checkpoint recomputes the VAE-decode→ArcFace branch in backward)."""
+    sched = make_ddpm()
+    frozen = _frozen_params()
+    batch = _batch(4)
+    key = jax.random.key(42)
+    outs = []
+    for remat in (False, True):
+        cfg = idbooth.IDBoothConfig(
+            which_loss="triplet_prior", remat_identity=remat, train_batch_size=2
+        )
+        loss_fn = idbooth.make_loss_fn(cfg, TINY, sched, policy=PARITY_POLICY)
+        trainable = idbooth.init_trainable(jax.random.key(4), cfg, TINY, frozen["unet"])
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, batch, key
+        )
+        outs.append((loss, metrics["id_loss"], grads))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+    a = jax.tree_util.tree_leaves(outs[0][2])
+    b = jax.tree_util.tree_leaves(outs[1][2])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6, rtol=1e-5)

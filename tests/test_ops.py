@@ -243,3 +243,61 @@ def test_flash_packed_even_heads_and_plain_d128():
     ref = _reference_attention(q, k, v, 64**-0.5, 77)
     out = flash_attention(q, k, v, kv_len=77, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,groups,act",
+    [
+        ((2, 16, 16, 320), 32, "silu"),  # SD level-0 channel count
+        ((2, 8, 8, 64), 8, None),
+        ((1, 24, 8, 96), 16, "silu"),    # S=192 < chunk, C%128 != 0
+    ],
+)
+def test_fused_gn_slab_matches_xla(shape, groups, act):
+    """The single-read Pallas GN slab kernel (interpret mode) must match the
+    XLA formulation bit-for-bit-ish in fp32 and to bf16 tolerance in bf16."""
+    from faceposegenerator_tpu.ops.fused_gn import fused_group_norm, slab_supported
+
+    n, h, w, c = shape
+    assert slab_supported(n, h * w, c, groups)
+    rng = np.random.default_rng(3)
+    gamma = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    for dtype, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        x = jnp.asarray(rng.standard_normal(shape) * 3 + 1).astype(dtype)
+        got = fused_group_norm(x, gamma, beta, groups, 1e-6, act, True)
+        ref = group_norm(x, gamma, beta, num_groups=groups, eps=1e-6, act=act)
+        assert got.dtype == ref.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=atol
+        )
+
+
+def test_fused_gn_gradients_match_xla():
+    """custom_vjp backward (XLA recompute) must match grads of the XLA GN."""
+    from faceposegenerator_tpu.ops.fused_gn import fused_group_norm
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    def loss_fused(x, g, b):
+        return jnp.sum(fused_group_norm(x, g, b, 8, 1e-6, "silu", True) ** 2)
+
+    def loss_xla(x, g, b):
+        return jnp.sum(group_norm(x, g, b, num_groups=8, eps=1e-6, act="silu") ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_xla, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_gn_slab_eligibility():
+    from faceposegenerator_tpu.ops.fused_gn import slab_supported
+
+    assert slab_supported(2, 64 * 64, 320, 32)        # level-0 UNet slab
+    assert not slab_supported(2, 512 * 512, 128, 32)  # VAE decode: too big
+    assert not slab_supported(2, 64 * 64, 330, 32)    # C % groups
+    assert not slab_supported(2, 100, 64, 8)          # S % 8
