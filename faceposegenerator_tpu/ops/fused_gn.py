@@ -55,6 +55,11 @@ def slab_supported(n: int, s: int, c: int, num_groups: int) -> bool:
         return False
     if c % num_groups or s % 8:
         return False
+    if c > 640:
+        # the (C, C) fp32 group matrix alone would blow scoped VMEM (measured:
+        # C=2560 up-block concat → 26 MB > 16 MB limit); wide-C GNs have tiny
+        # spatial extents anyway, XLA serves them fine
+        return False
     rows = min(s, _CHUNK_ROWS)
     if s % rows:
         return False
