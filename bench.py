@@ -308,12 +308,19 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # the axon relay occasionally drops mid-run;
-        # one retry keeps the driver's recorded bench alive
-        import sys, traceback
+    # the axon relay occasionally drops mid-run, and after a kernel-OOM crash
+    # the TPU worker reports FAILED_PRECONDITION for a minute or two while it
+    # restarts — retries (with a settle delay) keep the driver's recorded
+    # bench alive (a wasted queue slot was measured: STATUS.md queue C)
+    import sys, time as _time, traceback
 
-        traceback.print_exc(file=sys.stderr)
-        print("bench retry after error:", type(e).__name__, file=sys.stderr)
-        main()
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:
+            traceback.print_exc(file=sys.stderr)
+            if attempt == 2:
+                raise
+            print(f"bench retry {attempt + 1} after error:", type(e).__name__, file=sys.stderr)
+            _time.sleep(150 if "FAILED_PRECONDITION" in str(e) else 10)

@@ -51,6 +51,15 @@ def _zeros_like_lora(unet_params, text_params, rank: int, dtype=jnp.float32):
     return unet_lora, text_lora
 
 
+def zero_lora(unet_params, text_params=None, rank: int = 4, dtype=jnp.float32) -> dict:
+    """All-zero {"unet", "text_encoder"} LoRA with the standard fixed-rank
+    structure — the identity adapter. Serving keeps the no-LoRA path on the
+    same compiled program as loaded checkpoints by passing this instead of
+    None (the pytree-structure no-recompile invariant, CLAUDE.md)."""
+    unet_lora, text_lora = _zeros_like_lora(unet_params, text_params, rank, dtype)
+    return {"unet": unet_lora, "text_encoder": text_lora}
+
+
 def _normalize_keys(sd: Dict[str, np.ndarray]) -> Dict[str, Tuple[str, np.ndarray]]:
     """Map raw checkpoint keys to (canonical_module_path.{A|B}, tensor)."""
     out = {}

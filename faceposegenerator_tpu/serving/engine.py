@@ -1,0 +1,252 @@
+"""Production serving engine: request batching over the jitted sampler.
+
+The reference serves generation by re-loading a whole fp16
+StableDiffusionPipeline per (identity, model) pair and sampling one prompt
+at a time (`inference_ID-Booth.py:103-144`). A TPU serves best with ONE
+compiled program fed fixed-shape batches forever, so this engine is built
+around three invariants:
+
+1. **Static shapes**: every batch is padded to `batch_size`, tokens to 77,
+   steps/size/guidance fixed per server — the XLA program compiles once at
+   startup and is never retraced (asserted in tests via the jit cache).
+2. **LoRA hot-swap without recompile**: adapters are factored fixed-rank
+   pytrees with identical structure (CLAUDE.md invariant), so switching the
+   active identity checkpoint between batches is a pure weight swap.
+   Batches group contiguous same-LoRA requests from the queue front.
+3. **Per-request determinism under batching**: each request's noise is
+   generated from its own seed into the sampler's `noise_override` tensor
+   (the parity-injection mechanism, `diffusion/sampler.py:62`), so the
+   result for (prompt, seed, lora) is identical regardless of batch
+   composition or padding — unlike naive batched sampling with one key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rng import sampler_key
+from ..diffusion import make_ddpm, make_dpm_solver
+from ..diffusion.sampler import sample
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    prompt: str
+    negative_prompt: str = ""
+    seed: int = 0
+    lora_id: Optional[str] = None  # key previously passed to register_lora
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    image: np.ndarray  # (H, W, 3) fp32 in [0, 1]
+    seed: int
+    lora_id: Optional[str]
+    queue_s: float  # time waiting for a batch slot
+    batch_s: float  # device time of the batch this request rode
+
+
+class SamplerServer:
+    """Fixed-shape batching server over a `StableDiffusionPipeline`.
+
+    Submit with `submit()` (returns a Future) or `generate()` (blocking).
+    One background worker thread drains the queue: it takes the front
+    request, extends the batch with queued requests sharing its lora_id (up
+    to `batch_size`, waiting at most `max_wait_s` for stragglers), pads the
+    remainder by repeating the first slot, and runs the one compiled
+    program.
+    """
+
+    def __init__(
+        self,
+        pipe,
+        batch_size: int = 8,
+        max_wait_s: float = 0.05,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        height: int = 512,
+        width: int = 512,
+        scheduler: str = "ddpm",
+    ):
+        self.pipe = pipe
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_s
+        self.num_inference_steps = num_inference_steps
+        self.guidance_scale = float(guidance_scale)
+        self.height, self.width = height, width
+        self.scheduler = scheduler
+        self._schedule = (
+            make_ddpm(pipe.scheduler_config, num_inference_steps)
+            if scheduler == "ddpm"
+            else make_dpm_solver(pipe.scheduler_config, num_inference_steps)
+        )
+        # zero-LoRA with the same pytree structure keeps the no-LoRA path on
+        # the identical compiled program as loaded checkpoints
+        self._loras: Dict[Optional[str], tuple] = {None: (self._zero_lora(), 1.0)}
+        self._queue: "queue.Queue[tuple]" = queue.Queue()
+        self._stats = {
+            "requests": 0, "batches": 0, "padded_slots": 0,
+            "batch_times": [], "queue_times": [],
+        }
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- LoRA registry -------------------------------------------------------
+
+    def _zero_lora(self):
+        from ..diffusion.lora_io import zero_lora
+
+        return zero_lora(
+            self.pipe.params["unet"], self.pipe.params["text_encoder"],
+            dtype=self.pipe.policy.param_dtype,
+        )
+
+    def register_lora(self, name: str, path_or_tree, scale: float = 1.0):
+        """Register a diffusers-format checkpoint dir (or a prebuilt lora
+        pytree) under `name`. Requests select it via `lora_id=name`."""
+        if isinstance(path_or_tree, (str,)):
+            from ..diffusion.lora_io import load_lora_safetensors
+
+            tree = load_lora_safetensors(
+                path_or_tree, self.pipe.params["unet"],
+                self.pipe.params["text_encoder"],
+                dtype=self.pipe.policy.param_dtype,
+            )
+        else:
+            tree = path_or_tree
+        self._loras[name] = (tree, scale)
+
+    # -- request path ---------------------------------------------------------
+
+    def submit(self, request: GenerationRequest) -> Future:
+        if request.lora_id not in self._loras:
+            raise KeyError(f"unknown lora_id {request.lora_id!r}; register_lora first")
+        fut: Future = Future()
+        self._queue.put((request, fut, time.perf_counter()))
+        return fut
+
+    def generate(self, requests: Sequence[GenerationRequest]) -> List[GenerationResult]:
+        futs = [self.submit(r) for r in requests]
+        return [f.result() for f in futs]
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            bt = sorted(self._stats["batch_times"])
+            qt = sorted(self._stats["queue_times"])
+            med = lambda xs: xs[len(xs) // 2] if xs else 0.0
+            return {
+                "requests": self._stats["requests"],
+                "batches": self._stats["batches"],
+                "padded_slots": self._stats["padded_slots"],
+                "p50_batch_s": round(med(bt), 4),
+                "p50_queue_s": round(med(qt), 4),
+                "images_per_s": round(
+                    self._stats["requests"] / max(sum(bt), 1e-9), 3
+                ),
+            }
+
+    def shutdown(self, wait: bool = True):
+        self._stop.set()
+        if wait:
+            self._worker.join(timeout=30)
+
+    # -- worker ---------------------------------------------------------------
+
+    def _collect_batch(self):
+        """Front request + queued same-LoRA requests, up to batch_size."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return None
+        batch = [first]
+        lora_id = first[0].lora_id
+        deadline = time.perf_counter() + self.max_wait_s
+        put_back = []
+        while len(batch) < self.batch_size:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0 and not self._queue.qsize():
+                break
+            try:
+                item = self._queue.get(timeout=max(timeout, 0.001))
+            except queue.Empty:
+                break
+            if item[0].lora_id == lora_id:
+                batch.append(item)
+            else:
+                put_back.append(item)  # preserved for the next batch
+        for item in put_back:
+            self._queue.put(item)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if batch is None:
+                continue
+            try:
+                self._execute(batch)
+            except Exception as e:  # surface errors through the futures
+                for _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _per_request_noise(self, seeds: Sequence[int]):
+        """(S+1, B, h, w, 4) noise: slot b's stream depends only on seed b."""
+        h, w = self.height // 8, self.width // 8
+        S = self._schedule.num_inference_steps
+
+        def one(seed):
+            return jax.random.normal(
+                sampler_key(seed), (S + 1, h, w, 4), jnp.float32
+            )
+
+        stacked = jnp.stack([one(int(s)) for s in seeds])  # (B, S+1, h, w, 4)
+        return jnp.transpose(stacked, (1, 0, 2, 3, 4))
+
+    def _execute(self, batch):
+        t0 = time.perf_counter()
+        pipe = self.pipe
+        reqs = [b[0] for b in batch]
+        n_pad = self.batch_size - len(reqs)
+        padded = reqs + [reqs[0]] * n_pad
+
+        ids = pipe.tokenize([r.prompt for r in padded])
+        neg = pipe.tokenize([r.negative_prompt for r in padded])
+        noise = self._per_request_noise([r.seed for r in padded])
+        lora_tree, lora_scale = self._loras[reqs[0].lora_id]
+
+        images = sample(
+            pipe.params, self._schedule, ids, neg, sampler_key(0),
+            models=pipe.models, guidance_scale=self.guidance_scale,
+            height=self.height, width=self.width, policy=pipe.policy,
+            scheduler=self.scheduler, lora=lora_tree, lora_scale=lora_scale,
+            noise_override=noise,
+        )
+        images = np.asarray(images)
+        t1 = time.perf_counter()
+
+        with self._stats_lock:
+            self._stats["requests"] += len(reqs)
+            self._stats["batches"] += 1
+            self._stats["padded_slots"] += n_pad
+            self._stats["batch_times"].append(t1 - t0)
+            self._stats["queue_times"].extend(t0 - b[2] for b in batch)
+
+        for i, (req, fut, t_sub) in enumerate(batch):
+            fut.set_result(
+                GenerationResult(
+                    image=images[i], seed=req.seed, lora_id=req.lora_id,
+                    queue_s=t0 - t_sub, batch_s=t1 - t0,
+                )
+            )

