@@ -58,6 +58,10 @@ _IMPL = _os.environ.get("FLASH_IMPL", "own")
 # kernel is VPU-reduction-bound (STATUS.md roofline), so deleting the two
 # (bq, bk) row-sum passes per block is the main remaining forward lever.
 _MXU_SUM = _os.environ.get("FLASH_MXU_SUM", "1") == "1"
+# FLASH_SPLIT_KV > 1: process each KV block as N sub-blocks with a COMBINED
+# max so sub-block h's exp (VPU) is independent of sub-block h-1's PV matmul
+# (MXU) — exposes MXU/VPU overlap to Mosaic's scheduler. Forward-only.
+_SPLIT_KV = int(_os.environ.get("FLASH_SPLIT_KV", "1"))
 # FLASH_BWD: auto (Pallas backward for the packed d=64 path, reference
 # recompute otherwise) | pallas | reference. The round-2 finding that the
 # recompute-backward loses to XLA saved-residuals (3.27 vs 3.93 train-imgs/s)
@@ -342,6 +346,99 @@ def _fwd_kernel_packed(
             lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
+def _fwd_kernel_packed_split(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len,
+    block_k, d, split_kv,
+):
+    """Packed kernel processing the KV block as `split_kv` sub-blocks with a
+    COMBINED max, so each sub-block's exp (VPU) is data-independent of the
+    previous sub-block's PV matmul (MXU) and Mosaic's static scheduler can
+    overlap the two units — the serialization hypothesis behind the kernel
+    sitting at ~2× its padded-MXU floor while op-deletion (FLASH_MXU_SUM)
+    moved it <1%. Also amortizes: ONE alpha rescale of (acc, l) per block
+    instead of per sub-block. Numerics: identical to running the online
+    softmax with block_k and a shared max (exp arguments differ from the
+    sequential-max path by at most the sub-block max gap; still exact
+    softmax). Row-sums ride the PV matmuls' dead lanes (mxu_sum always on
+    here)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    zero = jnp.zeros((), q.dtype)
+    lane_lo_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) < d
+    q_lo = jnp.where(lane_lo_q, q, zero)
+    q_hi = jnp.where(lane_lo_q, zero, q)
+    dn = (((1,), (1,)), ((), ()))
+    dn_av = (((1,), (0,)), ((), ()))
+
+    sub = block_k // split_kv
+    s_as, s_bs = [], []
+    for h in range(split_kv):
+        ksub = k_ref[0, h * sub : (h + 1) * sub, :]
+        s_a = jax.lax.dot_general(q_lo, ksub, dn, preferred_element_type=jnp.float32)
+        s_b = jax.lax.dot_general(q_hi, ksub, dn, preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s_a, s_b = s_a * scale, s_b * scale
+        if kv_len is not None:
+            pos = j * block_k + h * sub + jax.lax.broadcasted_iota(
+                jnp.int32, s_a.shape, 1
+            )
+            live = pos < kv_len
+            s_a = jnp.where(live, s_a, NEG_INF)
+            s_b = jnp.where(live, s_b, NEG_INF)
+        s_as.append(s_a)
+        s_bs.append(s_b)
+
+    m_prev_a = m_ref[:, :1]
+    m_prev_b = m_ref[:, d : d + 1]
+    m_new_a, m_new_b = m_prev_a, m_prev_b
+    for h in range(split_kv):
+        m_new_a = jnp.maximum(m_new_a, jnp.max(s_as[h], axis=1, keepdims=True))
+        m_new_b = jnp.maximum(m_new_b, jnp.max(s_bs[h], axis=1, keepdims=True))
+
+    one = jnp.ones((), v_ref.dtype)
+    lane_lo_v = jax.lax.broadcasted_iota(jnp.int32, (sub, 2 * d), 1) < d
+    d_a = None
+    d_b = None
+    for h in range(split_kv):
+        # exp of sub-block h (VPU) is independent of sub-block h-1's PV
+        # matmuls (MXU) — the overlap this kernel exists to expose
+        p_a = jnp.exp(s_as[h] - m_new_a).astype(v_ref.dtype)
+        p_b = jnp.exp(s_bs[h] - m_new_b).astype(v_ref.dtype)
+        vsub = v_ref[0, h * sub : (h + 1) * sub, :]
+        g_a = jax.lax.dot_general(
+            p_a, jnp.where(lane_lo_v, vsub, one), dn_av,
+            preferred_element_type=jnp.float32,
+        )
+        g_b = jax.lax.dot_general(
+            p_b, jnp.where(lane_lo_v, one, vsub), dn_av,
+            preferred_element_type=jnp.float32,
+        )
+        d_a = g_a if d_a is None else d_a + g_a
+        d_b = g_b if d_b is None else d_b + g_b
+
+    lane_lo = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < d
+    alpha = jnp.where(
+        lane_lo, jnp.exp(m_prev_a - m_new_a), jnp.exp(m_prev_b - m_new_b)
+    )
+    acc_ref[:] = acc_ref[:] * alpha + jnp.where(lane_lo, d_a, d_b)
+    m_ref[:] = jnp.where(lane_lo, m_new_a, m_new_b)
+    l_ref[:] = l_ref[:] * alpha + jnp.where(
+        lane_lo, d_a[:, d : d + 1], d_b[:, :1]
+    )
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
 def _flash_fwd_3d_packed(
     q, k, v, scale, kv_len, block_q, block_k, interpret, d, mxu_sum=None,
     save_lse=False,
@@ -366,10 +463,17 @@ def _flash_fwd_3d_packed(
     sq_p, skv_p = sq + pad_q, skv + pad_k
 
     grid = (bh2, sq_p // block_q, skv_p // block_k)
-    kernel = functools.partial(
-        _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_k=block_k, d=d,
-        mxu_sum=_MXU_SUM if mxu_sum is None else mxu_sum, save_lse=save_lse,
-    )
+    split = _SPLIT_KV if not save_lse else 1  # split variant is fwd-only
+    if split > 1 and block_k % split == 0 and block_k // split >= 128:
+        kernel = functools.partial(
+            _fwd_kernel_packed_split, scale=scale, kv_len=kv_len,
+            block_k=block_k, d=d, split_kv=split,
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_k=block_k, d=d,
+            mxu_sum=_MXU_SUM if mxu_sum is None else mxu_sum, save_lse=save_lse,
+        )
     compiler_params = None
     if pltpu is not None and not interpret:
         compiler_params = pltpu.CompilerParams(

@@ -301,3 +301,20 @@ def test_gn_slab_eligibility():
     assert not slab_supported(2, 512 * 512, 128, 32)  # VAE decode: too big
     assert not slab_supported(2, 64 * 64, 330, 32)    # C % groups
     assert not slab_supported(2, 100, 64, 8)          # S % 8
+
+
+def test_flash_split_kv_matches_reference(monkeypatch):
+    """FLASH_SPLIT_KV (combined-max sub-block kernel) must be numerically a
+    flash forward: exact softmax attention incl. masked KV and odd heads."""
+    import faceposegenerator_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_SPLIT_KV", 2)
+    for (sq, skv, h, kv_len) in [(512, 512, 2, None), (512, 512, 3, None), (256, 256, 2, 200)]:
+        q, k, v = _qkv(11, 2, sq, skv, h, 64)
+        out = flash_attention(
+            q, k, v, kv_len=kv_len, block_q=256, block_k=256, interpret=True
+        )
+        kk = k[:, :kv_len] if kv_len else k
+        vv = v[:, :kv_len] if kv_len else v
+        ref = _reference_attention(q, kk, vv, 64**-0.5, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
