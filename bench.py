@@ -38,6 +38,7 @@ def bench_train(batch: int, repeats: int):
                    drops the whole x̂0→decode→ArcFace identity branch
       BENCH_REMAT  1 turns on jax.checkpoint around UNet blocks
       BENCH_REMAT_ID 1 remats the identity branch (VAE-decode backward)
+      BENCH_ID_CHUNK N runs the identity branch in sub-batches of N
       BENCH_ATTN   auto|flash|reference (threaded into the UNet)
     """
     from faceposegenerator_tpu.core.precision import Policy
@@ -48,6 +49,7 @@ def bench_train(batch: int, repeats: int):
     which_loss = os.environ.get("BENCH_LOSS", "triplet_prior")
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     remat_id = os.environ.get("BENCH_REMAT_ID", "0") == "1"
+    id_chunk = int(os.environ.get("BENCH_ID_CHUNK", "0")) or None
     attn = os.environ.get("BENCH_ATTN", "auto")  # flash w/ Pallas bwd (see ModelBundle.attn_impl)
     bundle = idbooth.ModelBundle(arcface_cfg=iresnet.config_for("r100"), attn_impl=attn)
     ap, ast = iresnet.init(jax.random.key(3), bundle.arcface_cfg)
@@ -60,6 +62,7 @@ def bench_train(batch: int, repeats: int):
     cfg = idbooth.IDBoothConfig(
         which_loss=which_loss, train_batch_size=batch,
         gradient_checkpointing=remat, remat_identity=remat_id,
+        identity_chunk=id_chunk,
     )
     trainable = idbooth.init_trainable(jax.random.key(4), cfg, bundle, frozen["unet"])
     import optax
@@ -83,7 +86,8 @@ def bench_train(batch: int, repeats: int):
     best = min(times)
     return {
         "metric": f"ID-Booth train imgs/sec/chip 512x512 loss={which_loss or 'mse'} bs{batch}(+prior)"
-        + (" remat" if remat else "") + (" remat_id" if remat_id else ""),
+        + (" remat" if remat else "") + (" remat_id" if remat_id else "")
+        + (f" id_chunk{id_chunk}" if id_chunk else ""),
         "value": round(batch / best, 3),
         "unit": "img/s",
         "vs_baseline": round(batch / best, 3),
@@ -176,11 +180,11 @@ def bench_embed(batch: int, repeats: int):
         return e
 
     x = jax.random.uniform(jax.random.key(1), (batch, 112, 112, 3), minval=-1, maxval=1)
-    embed(x).block_until_ready()
+    float(jnp.sum(embed(x)))  # axon: block_until_ready can return early
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        embed(x).block_until_ready()
+        float(jnp.sum(embed(x)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {

@@ -43,9 +43,11 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 _GN_IMPL = _os.environ.get("GN_IMPL", "xla")  # xla | pallas
-# slab cap: 2 (in, bf16) + 2 (out, bf16) double-buffered = 8 B/elem, plus
-# chunk temporaries and M; 720 KiB·4 ≈ 11.5 MB worst case at the cap
-_MAX_SLAB_ELEMS = int(_os.environ.get("GN_MAX_SLAB_ELEMS", str(64 * 64 * 320)))
+# slab cap: the slab lives ONCE in bf16 VMEM scratch (the streaming design;
+# a whole-slab-block version measured 18.2 MB > the 16 MB scoped limit at
+# 64²·320 from double-buffered in+out slabs). Budget at the cap: slab 5.2 MB
+# + double-buffered (rows, C) in/out blocks ~2.6 MB + M ≤1.6 MB + temps.
+_MAX_SLAB_ELEMS = int(_os.environ.get("GN_MAX_SLAB_ELEMS", str(64 * 64 * 640)))
 _CHUNK_ROWS = 512
 
 
@@ -67,69 +69,89 @@ def slab_supported(n: int, s: int, c: int, num_groups: int) -> bool:
 
 
 def _gn_slab_kernel(
-    x_ref, gamma_ref, beta_ref, o_ref, m_ref, acc_ref, acc2_ref,
-    *, num_groups, eps, act, s, c,
+    x_ref, gamma_ref, beta_ref, o_ref, slab_ref, m_ref, acc_ref, acc2_ref,
+    *, num_groups, eps, act, s, c, rows,
 ):
-    rows = min(s, _CHUNK_ROWS)
-    nchunks = s // rows
+    """Grid (N, 2, nblk). Phase 0: copy the incoming row block into the
+    single-copy VMEM slab scratch + accumulate fp32 channel sums. Phase 1:
+    normalize+activate FROM THE SCRATCH (no second HBM read) and write out.
+    The output block is only written in phase 1; its phase-0 index map pins
+    block 0, whose garbage contents are overwritten by phase 1's first step
+    before any index change flushes it."""
+    ph = pl.program_id(1)
+    i = pl.program_id(2)
     cg = c // num_groups
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((pl.program_id(0) == 0) & (ph == 0) & (i == 0))
     def _build_m():
         # group-averaging matrix: M[i, j] = (i//cg == j//cg) / (cg * S)
         gi = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // cg
         gj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // cg
         m_ref[:] = jnp.where(gi == gj, 1.0 / (cg * s), 0.0).astype(jnp.float32)
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    acc2_ref[:] = jnp.zeros_like(acc2_ref)
-    for ci in range(nchunks):
-        chunk = x_ref[0, ci * rows : (ci + 1) * rows, :].astype(jnp.float32)
-        acc_ref[:] += jnp.sum(chunk.reshape(rows // 8, 8, c), axis=0)
-        acc2_ref[:] += jnp.sum(
-            jnp.square(chunk).reshape(rows // 8, 8, c), axis=0
+    @pl.when((ph == 0) & (i == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    @pl.when(ph == 0)
+    def _accumulate():
+        blk = x_ref[0]  # (rows, c)
+        slab_ref[pl.ds(i * rows, rows), :] = blk
+        b32 = blk.astype(jnp.float32)
+        acc_ref[:] += jnp.sum(b32.reshape(rows // 8, 8, c), axis=0)
+        acc2_ref[:] += jnp.sum(jnp.square(b32).reshape(rows // 8, 8, c), axis=0)
+
+    @pl.when(ph == 1)
+    def _normalize():
+        sums = jnp.sum(acc_ref[:], axis=0, keepdims=True)  # (1, c) fp32
+        sqs = jnp.sum(acc2_ref[:], axis=0, keepdims=True)
+        dn = (((1,), (0,)), ((), ()))
+        mean_c = jax.lax.dot_general(
+            sums, m_ref[:], dn, preferred_element_type=jnp.float32
         )
-
-    sums = jnp.sum(acc_ref[:], axis=0, keepdims=True)  # (1, c) fp32
-    sqs = jnp.sum(acc2_ref[:], axis=0, keepdims=True)
-    dn = (((1,), (0,)), ((), ()))
-    mean_c = jax.lax.dot_general(sums, m_ref[:], dn, preferred_element_type=jnp.float32)
-    sq_c = jax.lax.dot_general(sqs, m_ref[:], dn, preferred_element_type=jnp.float32)
-    var_c = sq_c - jnp.square(mean_c)
-    inv = jax.lax.rsqrt(var_c + eps)  # (1, c): per-channel view of group stats
-    scale = inv * gamma_ref[:].astype(jnp.float32)
-    shift = beta_ref[:].astype(jnp.float32) - mean_c * scale
-
-    for ci in range(nchunks):
-        chunk = x_ref[0, ci * rows : (ci + 1) * rows, :].astype(jnp.float32)
-        out = chunk * scale + shift
+        sq_c = jax.lax.dot_general(
+            sqs, m_ref[:], dn, preferred_element_type=jnp.float32
+        )
+        var_c = sq_c - jnp.square(mean_c)
+        inv = jax.lax.rsqrt(var_c + eps)  # (1, c) per-channel group stats
+        scale = inv * gamma_ref[:].astype(jnp.float32)
+        shift = beta_ref[:].astype(jnp.float32) - mean_c * scale
+        out = slab_ref[pl.ds(i * rows, rows), :].astype(jnp.float32)
+        out = out * scale + shift
         if act == "silu":
             out = out * jax.nn.sigmoid(out)
-        o_ref[0, ci * rows : (ci + 1) * rows, :] = out.astype(o_ref.dtype)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _gn_slab_call(x3, gamma, beta, num_groups, eps, act, interpret):
     n, s, c = x3.shape
+    rows = min(s, _CHUNK_ROWS)
+    nblk = s // rows
     kernel = functools.partial(
-        _gn_slab_kernel, num_groups=num_groups, eps=eps, act=act, s=s, c=c
+        _gn_slab_kernel, num_groups=num_groups, eps=eps, act=act, s=s, c=c,
+        rows=rows,
     )
     compiler_params = None
     if pltpu is not None and not interpret:
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # scratch M persists across n
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         )
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, 2, nblk),
         in_specs=[
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, rows, c), lambda b, ph, i: (b, i, 0)),
+            pl.BlockSpec((1, c), lambda b, ph, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, ph, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        # phase 0 pins output block 0 (never flushed before phase 1's first
+        # write); phase 1 walks the real blocks
+        out_specs=pl.BlockSpec((1, rows, c), lambda b, ph, i: (b, ph * i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, s, c), x3.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, c), jnp.float32),
+            pltpu.VMEM((s, c), x3.dtype),      # single-copy slab
+            pltpu.VMEM((c, c), jnp.float32),   # group matrix
             pltpu.VMEM((8, c), jnp.float32),
             pltpu.VMEM((8, c), jnp.float32),
         ],

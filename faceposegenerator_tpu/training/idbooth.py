@@ -63,6 +63,14 @@ class IDBoothConfig(ConfigBase):
     # half at 512² (the multi-GB tensors behind the bs16 HBM OOM —
     # STATUS.md train table). Costs one extra decode forward when on.
     remat_identity: bool = False
+    # run the identity branch over sub-batches of this size via lax.map
+    # (sequential), dividing the branch's fwd+bwd activation peak by
+    # b_inst/chunk — remat_identity alone left bs16 674 MB short of HBM.
+    # None = whole instance half at once. Memory-only knob: the chunked
+    # masked sums add in the same order (loss matches tightly); grads match
+    # to fp32-reassociation tolerance (conv-backward reduction order shifts
+    # with the branch's batch shape).
+    identity_chunk: Optional[int] = None
     num_train_epochs: int = 32
     validation_epochs: int = 8
     checkpointing_epochs: int = 8
@@ -231,7 +239,9 @@ def make_loss_fn(
             gt_inst = batch["gt_embeds"][:b_inst]
             gt_neg = batch["gt_embeds"][b_inst:] if cfg.with_prior_preservation else gt_inst
 
-            def _identity_branch(x0, gt_inst, gt_neg, t_inst):
+            def _identity_sums(x0, gt_inst, gt_neg, t_inst):
+                """(Σ mask·w·term, Σ mask) over these samples — associative,
+                so chunked evaluation is bit-identical to one-shot."""
                 # decode to [0,255] image (latents_to_image_for_mtcnn, :408-441)
                 img = vae.decode(frozen["vae"], x0, models.vae_cfg, policy)
                 img255 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0) * 255.0
@@ -248,20 +258,30 @@ def make_loss_fn(
                 if not cfg.timestep_loss_weighting:
                     w = jnp.ones_like(w)
                 mask = found.astype(jnp.float32)
-                denom = jnp.maximum(jnp.sum(mask), 1.0)
 
                 if cfg.which_loss == "identity":
-                    id_term = 1.0 - _cosine_sim(emb, gt_inst)
-                    return jnp.sum(mask * w * id_term) / denom
-                # triplet_prior
-                d_ap = 1.0 - _cosine_sim(emb, gt_inst)
-                d_an = 1.0 - _cosine_sim(emb, gt_neg)
-                trip = jnp.maximum(d_ap - d_an + cfg.triplet_margin, 0.0)
-                return jnp.sum(mask * w * trip) / denom
+                    term = 1.0 - _cosine_sim(emb, gt_inst)
+                else:  # triplet_prior
+                    d_ap = 1.0 - _cosine_sim(emb, gt_inst)
+                    d_an = 1.0 - _cosine_sim(emb, gt_neg)
+                    term = jnp.maximum(d_ap - d_an + cfg.triplet_margin, 0.0)
+                return jnp.sum(mask * w * term), jnp.sum(mask)
 
+            branch = _identity_sums
             if cfg.remat_identity:
-                _identity_branch = jax.checkpoint(_identity_branch)
-            id_loss = _identity_branch(x0, gt_inst, gt_neg, t_inst)
+                branch = jax.checkpoint(branch)
+            ck = cfg.identity_chunk
+            if ck and 0 < ck < b_inst and b_inst % ck == 0:
+                nch = b_inst // ck
+                args = jax.tree.map(
+                    lambda a: a.reshape(nch, ck, *a.shape[1:]),
+                    (x0, gt_inst, gt_neg, t_inst),
+                )
+                num, den = jax.lax.map(lambda a: branch(*a), args)
+                num, den = jnp.sum(num), jnp.sum(den)
+            else:
+                num, den = branch(x0, gt_inst, gt_neg, t_inst)
+            id_loss = num / jnp.maximum(den, 1.0)
             loss = loss + id_loss
             metrics["id_loss"] = id_loss
 

@@ -156,16 +156,20 @@ def test_text_lora_init_uses_seed_key():
 
 
 def test_remat_identity_matches_no_remat():
-    """remat_identity must be a pure memory knob: identical loss AND grads
-    (jax.checkpoint recomputes the VAE-decode→ArcFace branch in backward)."""
+    """remat_identity and identity_chunk must be memory-only knobs:
+    identical loss and matching grads. Chunking changes the branch's batch
+    shape, so XLA's conv-backward reduction order shifts — grads agree to
+    fp32-reassociation tolerance, not bitwise (loss itself matches tighter
+    because the chunked masked sums add in the same order)."""
     sched = make_ddpm()
     frozen = _frozen_params()
     batch = _batch(4)
     key = jax.random.key(42)
     outs = []
-    for remat in (False, True):
+    for remat, chunk in ((False, None), (True, None), (True, 1), (False, 2)):
         cfg = idbooth.IDBoothConfig(
-            which_loss="triplet_prior", remat_identity=remat, train_batch_size=2
+            which_loss="triplet_prior", remat_identity=remat, train_batch_size=2,
+            identity_chunk=chunk,
         )
         loss_fn = idbooth.make_loss_fn(cfg, TINY, sched, policy=PARITY_POLICY)
         trainable = idbooth.init_trainable(jax.random.key(4), cfg, TINY, frozen["unet"])
@@ -173,9 +177,16 @@ def test_remat_identity_matches_no_remat():
             trainable, frozen, batch, key
         )
         outs.append((loss, metrics["id_loss"], grads))
-    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
-    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
-    a = jax.tree_util.tree_leaves(outs[0][2])
-    b = jax.tree_util.tree_leaves(outs[1][2])
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6, rtol=1e-5)
+    base = outs[0]
+    for other in outs[1:]:
+        np.testing.assert_allclose(base[0], other[0], rtol=1e-6)
+        np.testing.assert_allclose(base[1], other[1], rtol=1e-6)
+        a = jax.tree_util.tree_leaves(base[2])
+        b = jax.tree_util.tree_leaves(other[2])
+        for x, y in zip(a, b):
+            # per-leaf relative L2: the right metric for "same gradient up to
+            # fp32 reassociation" (per-element rtol trips on near-zero entries
+            # of an otherwise-agreeing leaf)
+            x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+            denom = max(np.linalg.norm(x), 1e-12)
+            assert np.linalg.norm(x - y) / denom < 1e-3
