@@ -411,8 +411,50 @@ def cmd_parity(argv):
     print(json.dumps(verdict))
 
 
+def cmd_serve(argv):
+    """Serving: fixed-shape batching HTTP server over the jitted sampler
+    (see serving/engine.py). LoRA checkpoints are registered at startup as
+    --lora name=path pairs and selected per request via lora_id."""
+    ap = argparse.ArgumentParser(prog="serve")
+    _add_common(ap)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--guidance", type=float, default=5.0)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--scheduler", choices=("ddpm", "dpm"), default="ddpm")
+    ap.add_argument(
+        "--lora", action="append", default=[], metavar="NAME=CKPT_DIR",
+        help="register a LoRA checkpoint (repeatable)",
+    )
+    args = ap.parse_args(argv)
+
+    from .pipelines import StableDiffusionPipeline
+    from .serving import SamplerServer
+    from .serving.http_api import serve_http
+
+    pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
+    pipe.set_scheduler(args.scheduler)
+    server = SamplerServer(
+        pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
+        num_inference_steps=args.steps, guidance_scale=args.guidance,
+        height=args.size, width=args.size, scheduler=args.scheduler,
+    )
+    for spec in args.lora:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--lora expects NAME=CKPT_DIR, got {spec!r}")
+        server.register_lora(name, path)
+    print(f"serving on http://{args.host}:{args.port} (batch {args.batch_size}, "
+          f"{args.steps} steps, loras: {[s.split('=')[0] for s in args.lora] or '[]'})")
+    serve_http(server, args.host, args.port)
+
+
 COMMANDS = {
     "parity": cmd_parity,
+    "serve": cmd_serve,
     "train-idbooth": cmd_train_idbooth,
     "generate": cmd_generate,
     "extract-embeds": cmd_extract_embeds,
