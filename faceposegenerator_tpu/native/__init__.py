@@ -38,7 +38,9 @@ def _build() -> str:
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
         return so
     include = sysconfig.get_paths()["include"]
-    tmp = so + ".tmp"
+    # per-PID temp: concurrent first-use builds from multiple processes must
+    # not interleave writes to one tmp file (os.replace stays atomic)
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         f"-I{include}", _SRC, "-o", tmp, "-ljpeg", "-lpthread",

@@ -108,19 +108,23 @@ void resize_normalize(const unsigned char* rgb, int w, int h, int size,
     int y0 = static_cast<int>(fy);
     if (y0 > h - 2) y0 = h - 2;
     if (y0 < 0) y0 = 0;
+    // degenerate 1-pixel-tall/wide images: clamp the second sample to the
+    // same row/column instead of reading one row past the decoded buffer
+    int y1 = (y0 + 1 < h) ? y0 + 1 : y0;
     float wy = fy - y0;
     const unsigned char* r0 = rgb + static_cast<size_t>(y0) * w * 3;
-    const unsigned char* r1 = r0 + static_cast<size_t>(w) * 3;
+    const unsigned char* r1 = rgb + static_cast<size_t>(y1) * w * 3;
     for (int x = 0; x < size; ++x) {
       float fx = (x + 0.5f) * sx - 0.5f;
       if (fx < 0) fx = 0;
       int x0 = static_cast<int>(fx);
       if (x0 > w - 2) x0 = w - 2;
       if (x0 < 0) x0 = 0;
+      int x1 = (x0 + 1 < w) ? x0 + 1 : x0;
       float wx = fx - x0;
       for (int c = 0; c < 3; ++c) {
-        float a = r0[x0 * 3 + c], b = r0[(x0 + 1) * 3 + c];
-        float cc = r1[x0 * 3 + c], d = r1[(x0 + 1) * 3 + c];
+        float a = r0[x0 * 3 + c], b = r0[x1 * 3 + c];
+        float cc = r1[x0 * 3 + c], d = r1[x1 * 3 + c];
         float top = a + (b - a) * wx;
         float bot = cc + (d - cc) * wx;
         float v = top + (bot - top) * wy;

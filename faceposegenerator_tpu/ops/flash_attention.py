@@ -62,12 +62,15 @@ _MXU_SUM = _os.environ.get("FLASH_MXU_SUM", "1") == "1"
 # max so sub-block h's exp (VPU) is independent of sub-block h-1's PV matmul
 # (MXU) — exposes MXU/VPU overlap to Mosaic's scheduler. Forward-only.
 _SPLIT_KV = int(_os.environ.get("FLASH_SPLIT_KV", "1"))
-# FLASH_BWD: auto (Pallas backward for the packed d=64 path, reference
-# recompute otherwise) | pallas | reference. The round-2 finding that the
-# recompute-backward loses to XLA saved-residuals (3.27 vs 3.93 train-imgs/s)
-# motivated a real fused backward: it saves only (o, lse) row statistics
-# instead of the O(S²) softmax weights, and has no VPU reductions at all
-# (D = rowsum(dO∘O) is precomputed outside the kernel).
+# FLASH_BWD: auto = fused Pallas backward wherever one exists — the packed
+# path for d=64 AND the plain path for d % 128 == 0 (the VAE's 512-dim
+# head) — falling back to the reference-recompute VJP only for other dims;
+# reference = force the recompute VJP everywhere (e.g. to isolate a
+# suspected kernel bug or reproduce the round-1 numbers). The round-2
+# finding that the recompute-backward loses to XLA saved-residuals (3.27 vs
+# 3.93 train-imgs/s) motivated the fused backward: it saves only (o, lse)
+# row statistics instead of the O(S²) softmax weights, and has no VPU
+# reductions at all (D = rowsum(dO∘O) is precomputed outside the kernel).
 _BWD = _os.environ.get("FLASH_BWD", "auto")
 # backward block sizes: the bwd kernels hold more live (bq, bk) fp32
 # temporaries (s, p, dp, ds per head) than the forward, so default smaller

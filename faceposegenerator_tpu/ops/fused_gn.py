@@ -25,6 +25,11 @@ Design notes (TPU):
 Backward: custom_vjp recomputing through the XLA formulation — GN backward
 saves nothing worth a bespoke kernel (stats are cheap to rebuild and the
 train step's GN time is negligible; STATUS.md ablation: 0.31 s of 8.85 s).
+
+Measured (v5e, sampler bs16): 1.869 img/s vs 1.957 with the XLA
+formulation — XLA's stats pass + consumer-fused normalize wins at these
+shapes, so GN_IMPL defaults to "xla" and this kernel stays as a tested,
+flag-gated alternative (STATUS.md negative-results table).
 """
 
 from __future__ import annotations
@@ -141,7 +146,11 @@ def _gn_slab_call(x3, gamma, beta, num_groups, eps, act, interpret):
         kernel,
         grid=(n, 2, nblk),
         in_specs=[
-            pl.BlockSpec((1, rows, c), lambda b, ph, i: (b, i, 0)),
+            # phase 0 walks the real blocks; phase 1 pins block 0 so the
+            # pipeline does NOT re-DMA x (phase 1 reads only slab_ref) —
+            # without the (1-ph) pin every block is fetched twice and the
+            # single-read design is defeated
+            pl.BlockSpec((1, rows, c), lambda b, ph, i: (b, (1 - ph) * i, 0)),
             pl.BlockSpec((1, c), lambda b, ph, i: (0, 0)),
             pl.BlockSpec((1, c), lambda b, ph, i: (0, 0)),
         ],

@@ -22,8 +22,8 @@ around three invariants:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
-import queue
 import threading
 import time
 from concurrent.futures import Future
@@ -76,6 +76,7 @@ class SamplerServer:
         height: int = 512,
         width: int = 512,
         scheduler: str = "ddpm",
+        lora_rank: int = 4,
     ):
         self.pipe = pipe
         self.batch_size = batch_size
@@ -90,12 +91,23 @@ class SamplerServer:
             else make_dpm_solver(pipe.scheduler_config, num_inference_steps)
         )
         # zero-LoRA with the same pytree structure keeps the no-LoRA path on
-        # the identical compiled program as loaded checkpoints
+        # the identical compiled program as loaded checkpoints; every
+        # registered adapter must match it (register_lora validates)
+        self.lora_rank = lora_rank
         self._loras: Dict[Optional[str], tuple] = {None: (self._zero_lora(), 1.0)}
-        self._queue: "queue.Queue[tuple]" = queue.Queue()
+        # deque + condition (not queue.Queue): batch collection scans for
+        # same-LoRA requests IN PLACE, so non-matching requests keep their
+        # arrival position — re-queueing them at the tail would let a
+        # sustained mixed-LoRA load starve a request indefinitely
+        self._pending: "collections.deque[tuple]" = collections.deque()
+        self._pending_cv = threading.Condition()
+        # bounded: a long-running server must not grow telemetry without
+        # limit (p50s over the recent window are what /stats is for)
         self._stats = {
             "requests": 0, "batches": 0, "padded_slots": 0,
-            "batch_times": [], "queue_times": [],
+            "batch_times": collections.deque(maxlen=1024),
+            "batch_sizes": collections.deque(maxlen=1024),
+            "queue_times": collections.deque(maxlen=4096),
         }
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
@@ -109,12 +121,18 @@ class SamplerServer:
 
         return zero_lora(
             self.pipe.params["unet"], self.pipe.params["text_encoder"],
-            dtype=self.pipe.policy.param_dtype,
+            rank=self.lora_rank, dtype=self.pipe.policy.param_dtype,
         )
 
     def register_lora(self, name: str, path_or_tree, scale: float = 1.0):
         """Register a diffusers-format checkpoint dir (or a prebuilt lora
-        pytree) under `name`. Requests select it via `lora_id=name`."""
+        pytree) under `name`. Requests select it via `lora_id=name`.
+
+        The adapter MUST have the same pytree structure and leaf shapes as
+        the server's zero adapter — otherwise the first request using it
+        would trace a SECOND XLA program (a multi-minute TPU compile stall
+        mid-serving), silently violating the one-compiled-program contract.
+        Rejected here with a clear error instead."""
         if isinstance(path_or_tree, (str,)):
             from ..diffusion.lora_io import load_lora_safetensors
 
@@ -125,6 +143,21 @@ class SamplerServer:
             )
         else:
             tree = path_or_tree
+        ref = self._loras[None][0]
+        ref_shapes = jax.tree.map(lambda a: (jnp.shape(a), jnp.result_type(a)), ref)
+        got_shapes = jax.tree.map(lambda a: (jnp.shape(a), jnp.result_type(a)), tree)
+        if (
+            jax.tree_util.tree_structure(ref_shapes)
+            != jax.tree_util.tree_structure(got_shapes)
+            or jax.tree_util.tree_leaves(ref_shapes)
+            != jax.tree_util.tree_leaves(got_shapes)
+        ):
+            raise ValueError(
+                f"lora {name!r} does not match the server's adapter structure "
+                "(rank / targeted modules / dtype differ) — it would force a "
+                "recompile; construct SamplerServer with a matching lora_rank "
+                "or convert the checkpoint to the server's rank"
+            )
         self._loras[name] = (tree, scale)
 
     # -- request path ---------------------------------------------------------
@@ -133,7 +166,9 @@ class SamplerServer:
         if request.lora_id not in self._loras:
             raise KeyError(f"unknown lora_id {request.lora_id!r}; register_lora first")
         fut: Future = Future()
-        self._queue.put((request, fut, time.perf_counter()))
+        with self._pending_cv:
+            self._pending.append((request, fut, time.perf_counter()))
+            self._pending_cv.notify()
         return fut
 
     def generate(self, requests: Sequence[GenerationRequest]) -> List[GenerationResult]:
@@ -141,9 +176,13 @@ class SamplerServer:
         return [f.result() for f in futs]
 
     def stats(self) -> dict:
+        """Counters are all-time; percentiles and throughput are over the
+        recent bounded window (a long-running server must not accumulate
+        telemetry without limit)."""
         with self._stats_lock:
             bt = sorted(self._stats["batch_times"])
             qt = sorted(self._stats["queue_times"])
+            window_reqs = sum(self._stats["batch_sizes"])
             med = lambda xs: xs[len(xs) // 2] if xs else 0.0
             return {
                 "requests": self._stats["requests"],
@@ -151,9 +190,7 @@ class SamplerServer:
                 "padded_slots": self._stats["padded_slots"],
                 "p50_batch_s": round(med(bt), 4),
                 "p50_queue_s": round(med(qt), 4),
-                "images_per_s": round(
-                    self._stats["requests"] / max(sum(bt), 1e-9), 3
-                ),
+                "images_per_s": round(window_reqs / max(sum(bt), 1e-9), 3),
             }
 
     def shutdown(self, wait: bool = True):
@@ -163,30 +200,38 @@ class SamplerServer:
 
     # -- worker ---------------------------------------------------------------
 
+    def _take_matching(self, lora_id, limit: int):
+        """Remove up to `limit` pending requests with this lora_id, scanning
+        IN PLACE so non-matching requests keep their arrival order (FIFO
+        fairness: the oldest pending request always heads the next batch)."""
+        taken, kept = [], []
+        while self._pending and len(taken) < limit:
+            item = self._pending.popleft()
+            (taken if item[0].lora_id == lora_id else kept).append(item)
+        self._pending.extendleft(reversed(kept))
+        return taken
+
     def _collect_batch(self):
-        """Front request + queued same-LoRA requests, up to batch_size."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return None
-        batch = [first]
-        lora_id = first[0].lora_id
-        deadline = time.perf_counter() + self.max_wait_s
-        put_back = []
-        while len(batch) < self.batch_size:
-            timeout = deadline - time.perf_counter()
-            if timeout <= 0 and not self._queue.qsize():
-                break
-            try:
-                item = self._queue.get(timeout=max(timeout, 0.001))
-            except queue.Empty:
-                break
-            if item[0].lora_id == lora_id:
-                batch.append(item)
-            else:
-                put_back.append(item)  # preserved for the next batch
-        for item in put_back:
-            self._queue.put(item)
+        """Oldest pending request + same-LoRA followers, up to batch_size;
+        waits up to max_wait_s for stragglers to fill the batch."""
+        with self._pending_cv:
+            if not self._pending_cv.wait_for(lambda: self._pending, timeout=0.1):
+                return None
+            lora_id = self._pending[0][0].lora_id
+            batch = self._take_matching(lora_id, self.batch_size)
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                # wake on NEW arrivals only — leftover non-matching requests
+                # stay pending and must not busy-spin the straggler wait
+                seen = len(self._pending)
+                if not self._pending_cv.wait_for(
+                    lambda: len(self._pending) > seen, timeout=timeout
+                ):
+                    break
+                batch.extend(self._take_matching(lora_id, self.batch_size - len(batch)))
         return batch
 
     def _run(self):
@@ -241,6 +286,7 @@ class SamplerServer:
             self._stats["batches"] += 1
             self._stats["padded_slots"] += n_pad
             self._stats["batch_times"].append(t1 - t0)
+            self._stats["batch_sizes"].append(len(reqs))
             self._stats["queue_times"].extend(t0 - b[2] for b in batch)
 
         for i, (req, fut, t_sub) in enumerate(batch):

@@ -57,14 +57,21 @@ def make_handler(server: SamplerServer):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                fut = server.submit(
-                    GenerationRequest(
-                        prompt=req["prompt"],
-                        negative_prompt=req.get("negative_prompt", ""),
-                        seed=int(req.get("seed", 0)),
-                        lora_id=req.get("lora_id"),
+                if "prompt" not in req:
+                    self._reply(400, {"error": "missing field 'prompt'"})
+                    return
+                try:
+                    fut = server.submit(
+                        GenerationRequest(
+                            prompt=req["prompt"],
+                            negative_prompt=req.get("negative_prompt", ""),
+                            seed=int(req.get("seed", 0)),
+                            lora_id=req.get("lora_id"),
+                        )
                     )
-                )
+                except KeyError as e:  # engine-side: unknown lora_id
+                    self._reply(400, {"error": str(e.args[0])})
+                    return
                 res = fut.result()
                 out = {
                     "seed": res.seed, "lora_id": res.lora_id,

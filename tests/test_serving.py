@@ -50,16 +50,17 @@ def server():
         pipe, batch_size=4, max_wait_s=0.02, num_inference_steps=3,
         height=64, width=64,
     )
-    # a random LoRA to prove hot-swap changes outputs (init_lora zeroes B —
-    # the identity init — so randomize every leaf to make it bite)
-    lora_tree = unet2d.init_lora(jax.random.key(9), pipe.params["unet"])
-    leaves, treedef = jax.tree_util.tree_flatten(lora_tree)
+    # a random LoRA to prove hot-swap changes outputs — built from the
+    # server's zero adapter (so it passes structure validation; zero B is
+    # the identity init, so randomize every leaf to make it bite)
+    zero = srv._loras[None][0]
+    leaves, treedef = jax.tree_util.tree_flatten(zero)
     keys = jax.random.split(jax.random.key(10), len(leaves))
     lora_tree = jax.tree_util.tree_unflatten(
         treedef,
         [0.1 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)],
     )
-    srv.register_lora("idA", {"unet": lora_tree, "text_encoder": None})
+    srv.register_lora("idA", lora_tree)
     yield srv
     srv.shutdown()
 
@@ -130,3 +131,19 @@ def test_http_api_roundtrip(server):
             assert json.load(r)["requests"] >= 1
     finally:
         httpd.shutdown()
+
+
+def test_register_lora_rejects_structure_mismatch(server):
+    """A rank-mismatched (or differently-targeted) adapter must be REJECTED
+    at registration — accepting it would retrace a second XLA program on the
+    first request (the no-recompile serving contract)."""
+    from faceposegenerator_tpu.diffusion.lora_io import zero_lora
+
+    wrong_rank = zero_lora(
+        server.pipe.params["unet"], server.pipe.params["text_encoder"], rank=8
+    )
+    with pytest.raises(ValueError, match="recompile"):
+        server.register_lora("bad", wrong_rank)
+    wrong_structure = {"unet": server._loras[None][0]["unet"], "text_encoder": None}
+    with pytest.raises(ValueError, match="recompile"):
+        server.register_lora("bad2", wrong_structure)
