@@ -9,7 +9,7 @@ JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 30),
 BENCH_REPEATS (default 3), BENCH_ATTN (auto|flash|reference),
-BENCH_KIND (sample [default] | train | embed | sweep — the BASELINE.md
+BENCH_KIND (sample [default] | train | embed | sweep | serve — the BASELINE.md
 configs: txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace embed
 extraction, synthesis sweep + pose/FIQA eval harness),
 BENCH_ABLATE (no_attn|no_xf|no_gn|no_vae time-attribution variants).
@@ -231,6 +231,67 @@ def apply_ablation(name: str):
         raise ValueError(f"unknown ablation {name!r}")
 
 
+def bench_serve(batch: int, steps: int, repeats: int):
+    """Serving-engine throughput: concurrent requests through SamplerServer
+    (batching + per-request noise + future dispatch overhead on top of the
+    raw sampler). Mixed seeds and a LoRA hot-swap mid-stream — the
+    production shape, one compiled program throughout."""
+    from faceposegenerator_tpu.core.precision import Policy
+    from faceposegenerator_tpu.data.tokenizer import CLIPTokenizer, bytes_to_unicode
+    from faceposegenerator_tpu.diffusion.sampler import SamplerModels
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+    from faceposegenerator_tpu.serving import GenerationRequest, SamplerServer
+
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    tok = CLIPTokenizer(vocab, [], model_max_length=77)
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    pipe = StableDiffusionPipeline.from_random(
+        models=SamplerModels(attn_impl=os.environ.get("BENCH_ATTN", "auto")),
+        dtype=jnp.bfloat16, tokenizer=tok, policy=policy,
+    )
+    server = SamplerServer(
+        pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
+    )
+    from faceposegenerator_tpu.diffusion.lora_io import zero_lora
+
+    server.register_lora(
+        "id0", zero_lora(pipe.params["unet"], pipe.params["text_encoder"],
+                         dtype=jnp.bfloat16),
+    )
+
+    def burst(n, tag):
+        reqs = [
+            GenerationRequest(
+                prompt=f"face portrait photo {tag} {i}", seed=i,
+                lora_id="id0" if i % 2 else None,
+            )
+            for i in range(n)
+        ]
+        return server.generate(reqs)
+
+    n = 2 * batch
+    burst(n, "warmup")  # compile both … actually one program; warms it
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        burst(n, f"run{r}")
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    server.shutdown()
+    return {
+        "metric": f"serving imgs/sec/chip 512x512 {steps}-step CFG (batch {batch}, mixed-LoRA bursts)",
+        "value": round(n / best, 3),
+        "unit": "img/s",
+        "vs_baseline": round(n / best / 30.0, 3),
+        "extra": {"burst_s": round(best, 2), "stats": server.stats(),
+                  "device": str(jax.devices()[0])},
+    }
+
+
 def main():
     from faceposegenerator_tpu.core.precision import Policy
     from faceposegenerator_tpu.diffusion import make_ddpm
@@ -251,6 +312,9 @@ def main():
         return
     if kind == "sweep":
         print(json.dumps(bench_sweep(repeats)))
+        return
+    if kind == "serve":
+        print(json.dumps(bench_serve(batch, steps, repeats)))
         return
 
     ablate = os.environ.get("BENCH_ABLATE", "")

@@ -147,3 +147,25 @@ def test_register_lora_rejects_structure_mismatch(server):
     wrong_structure = {"unet": server._loras[None][0]["unet"], "text_encoder": None}
     with pytest.raises(ValueError, match="recompile"):
         server.register_lora("bad2", wrong_structure)
+
+
+def test_collect_batch_preserves_arrival_order(server):
+    """_take_matching must scan in place: non-matching requests keep their
+    arrival position (no tail re-queue starvation)."""
+    import collections
+    from concurrent.futures import Future
+
+    eng = server
+    with eng._pending_cv:
+        assert not eng._pending
+        items = [
+            (GenerationRequest(prompt=f"p{i}", lora_id=lid), Future(), float(i))
+            for i, lid in enumerate([None, "idA", None, "idA", "idA"])
+        ]
+        eng._pending.extend(items)
+        taken = eng._take_matching("idA", 2)
+        # takes the two oldest idA requests (indices 1, 3) ...
+        assert [t[0].prompt for t in taken] == ["p1", "p3"]
+        # ... and everything else keeps arrival order
+        assert [t[0].prompt for t in eng._pending] == ["p0", "p2", "p4"]
+        eng._pending.clear()
