@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import functools
 import threading
 import time
 from concurrent.futures import Future
@@ -38,6 +39,12 @@ from ..diffusion import make_ddpm, make_dpm_solver
 from ..diffusion.sampler import sample
 
 
+@jax.jit
+def _quantize_u8(images):
+    """[0,1] fp32 → uint8 on device (PIL round semantics: round-half-up)."""
+    return jnp.clip(jnp.round(images * 255.0), 0, 255).astype(jnp.uint8)
+
+
 @dataclasses.dataclass
 class GenerationRequest:
     prompt: str
@@ -48,7 +55,9 @@ class GenerationRequest:
 
 @dataclasses.dataclass
 class GenerationResult:
-    image: np.ndarray  # (H, W, 3) fp32 in [0, 1]
+    image: np.ndarray  # (H, W, 3) uint8 — quantized on DEVICE: the fp32
+    # device→host transfer measured as real serving overhead (4× the bytes
+    # for precision every consumer (PNG writers, FR preprocessing) discards)
     seed: int
     lora_id: Optional[str]
     queue_s: float  # time waiting for a batch slot
@@ -247,17 +256,24 @@ class SamplerServer:
                         fut.set_exception(e)
 
     def _per_request_noise(self, seeds: Sequence[int]):
-        """(S+1, B, h, w, 4) noise: slot b's stream depends only on seed b."""
+        """(S+1, B, h, w, 4) noise: slot b's stream depends only on seed b.
+        One jitted vmapped dispatch — per-request `jax.random.normal` calls
+        measured as real overhead on the serving path (B separate launches)."""
         h, w = self.height // 8, self.width // 8
         S = self._schedule.num_inference_steps
 
-        def one(seed):
-            return jax.random.normal(
-                sampler_key(seed), (S + 1, h, w, 4), jnp.float32
-            )
+        @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+        def batch_noise(seed_arr, S, h, w):
+            def one(seed):
+                return jax.random.normal(
+                    sampler_key(seed), (S + 1, h, w, 4), jnp.float32
+                )
 
-        stacked = jnp.stack([one(int(s)) for s in seeds])  # (B, S+1, h, w, 4)
-        return jnp.transpose(stacked, (1, 0, 2, 3, 4))
+            return jnp.transpose(jax.vmap(one)(seed_arr), (1, 0, 2, 3, 4))
+
+        return batch_noise(
+            jnp.asarray([int(s) for s in seeds], jnp.uint32), S, h, w
+        )
 
     def _execute(self, batch):
         t0 = time.perf_counter()
@@ -278,7 +294,7 @@ class SamplerServer:
             scheduler=self.scheduler, lora=lora_tree, lora_scale=lora_scale,
             noise_override=noise,
         )
-        images = np.asarray(images)
+        images = np.asarray(_quantize_u8(images))
         t1 = time.perf_counter()
 
         with self._stats_lock:

@@ -26,7 +26,9 @@ def _png_b64(image) -> str:
     from PIL import Image
     import numpy as np
 
-    arr = (np.clip(np.asarray(image), 0.0, 1.0) * 255).astype(np.uint8)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:  # engine delivers uint8 (quantized on device)
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, "PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")

@@ -73,17 +73,18 @@ def test_batched_results_deterministic_per_request(server):
     mixed = server.generate(
         [GenerationRequest(prompt=f"other {i}", seed=i) for i in range(3)] + [r]
     )[-1]
-    np.testing.assert_allclose(alone.image, mixed.image, atol=1e-5)
-    assert alone.image.shape == (64, 64, 3)
-    assert np.isfinite(alone.image).all()
+    np.testing.assert_array_equal(alone.image, mixed.image)  # uint8: exact
+    assert alone.image.shape == (64, 64, 3) and alone.image.dtype == np.uint8
 
 
 def test_seed_and_lora_change_output(server):
     a = server.generate([GenerationRequest(prompt="x", seed=1)])[0]
     b = server.generate([GenerationRequest(prompt="x", seed=2)])[0]
     c = server.generate([GenerationRequest(prompt="x", seed=1, lora_id="idA")])[0]
-    assert np.abs(a.image - b.image).max() > 1e-4   # seed matters
-    assert np.abs(a.image - c.image).max() > 1e-6   # adapter matters
+    d_seed = np.abs(a.image.astype(int) - b.image.astype(int)).max()
+    d_lora = np.abs(a.image.astype(int) - c.image.astype(int)).max()
+    assert d_seed >= 1   # seed matters
+    assert d_lora >= 1   # adapter matters
 
 
 def test_no_recompile_across_batches_and_lora_swaps(server):
