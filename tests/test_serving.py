@@ -7,6 +7,7 @@ contracts instead: one compiled program, reproducible per-request results.
 """
 
 import json
+import urllib.error
 import urllib.request
 
 import jax
@@ -130,6 +131,19 @@ def test_http_api_roundtrip(server):
         assert out["seed"] == 3 and "batch_s" in out
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
             assert json.load(r)["requests"] >= 1
+        # error paths: unknown lora_id and missing prompt get DISTINCT 400s
+        for body, frag in (
+            ({"prompt": "x", "lora_id": "nope"}, "unknown lora_id"),
+            ({"seed": 1}, "missing field 'prompt'"),
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(body).encode(), method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+            assert frag in json.loads(ei.value.read())["error"]
     finally:
         httpd.shutdown()
 
