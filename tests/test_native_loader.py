@@ -161,3 +161,33 @@ def test_native_throughput_smoke(rec_dataset):
     out = np.empty((64, 112, 112, 3), np.float32)
     mod.decode_batch(payloads, out, 112, 8)
     assert np.isfinite(out).all() and out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_batches_fall_back_to_pil_for_non_jpeg_payloads(tmp_path):
+    """RecordIO payloads aren't always JPEG (mxnet accepts PNG too): the
+    native batch path must fall back to the per-item PIL decode for batches
+    libjpeg rejects, not raise."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    rec, idx = str(tmp_path / "p.rec"), str(tmp_path / "p.idx")
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8)).save(buf, "PNG")
+        return buf.getvalue()
+
+    records = [(np.asarray([0.0, 3.0], np.float32), b"")] + [
+        (np.asarray([float(i)], np.float32), png_bytes(112, 112)) for i in range(4)
+    ]
+    recordio.write_records(rec, idx, records)
+    ds = recordio.MXFaceDataset(rec, idx, use_native=True)
+    assert ds._native is not None
+    batches = list(ds.batches(2, shuffle=False))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["images"].shape == (2, 112, 112, 3)
+        assert np.isfinite(b["images"]).all()
+    np.testing.assert_array_equal(
+        np.concatenate([b["labels"] for b in batches]), [0, 1, 2, 3]
+    )
