@@ -231,6 +231,42 @@ def apply_ablation(name: str):
         raise ValueError(f"unknown ablation {name!r}")
 
 
+def bench_fr(batch: int, repeats: int):
+    """FR utility-training step throughput: iresnet50 + AdaFace at the
+    reference operating point (bs128, 112², `FR_training/config/FR_config.py:32-56`).
+    Not one of the five BASELINE configs — recorded for the downstream
+    utility-training story (SURVEY.md L6)."""
+    from faceposegenerator_tpu.core.precision import Policy
+    from faceposegenerator_tpu.training import fr
+
+    policy = Policy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+    cfg = fr.FRConfig(network="iresnet50", loss="AdaFace", num_classes=1000, batch_size=batch)
+    params, state = fr.init_train_state(jax.random.key(0), cfg)
+    opt = fr.make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = fr.make_train_step(cfg, opt, policy=policy, donate=False)
+    batch_data = {
+        "images": jax.random.uniform(jax.random.key(1), (batch, 112, 112, 3), minval=-1, maxval=1),
+        "labels": jax.random.randint(jax.random.key(2), (batch,), 0, cfg.num_classes),
+    }
+    p, s, o, m = step(params, state, opt_state, batch_data, jax.random.key(3))
+    float(m["loss"])  # force host transfer (axon block_until_ready caveat)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        p, s, o, m = step(p, s, o, batch_data, jax.random.key(4 + i))
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": f"FR train imgs/sec/chip iresnet50+AdaFace 112x112 bs{batch}",
+        "value": round(batch / best, 1),
+        "unit": "img/s",
+        "vs_baseline": round(batch / best / 1000.0, 3),
+        "extra": {"step_s": round(best, 4), "device": str(jax.devices()[0])},
+    }
+
+
 def bench_serve(batch: int, steps: int, repeats: int):
     """Serving-engine throughput: concurrent requests through SamplerServer
     (batching + per-request noise + future dispatch overhead on top of the
@@ -315,6 +351,9 @@ def main():
         return
     if kind == "serve":
         print(json.dumps(bench_serve(batch, steps, repeats)))
+        return
+    if kind == "fr":
+        print(json.dumps(bench_fr(int(os.environ.get("BENCH_BATCH", "128")), repeats)))
         return
 
     ablate = os.environ.get("BENCH_ABLATE", "")
