@@ -190,3 +190,28 @@ def test_remat_identity_matches_no_remat():
             x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
             denom = max(np.linalg.norm(x), 1e-12)
             assert np.linalg.norm(x - y) / denom < 1e-3
+
+
+def test_identity_chunk_nondivisible_raises():
+    """identity_chunk that can't apply must RAISE, not silently fall through
+    to the whole-batch branch (which would OOM anyway — VERDICT r2 #7)."""
+    sched = make_ddpm()
+    frozen = _frozen_params()
+    batch = _batch(6)  # b_inst = 3 with prior preservation
+    for bad in (2, 4, 0, -1):
+        cfg = idbooth.IDBoothConfig(
+            which_loss="triplet_prior", train_batch_size=3, identity_chunk=bad
+        )
+        loss_fn = idbooth.make_loss_fn(cfg, TINY, sched, policy=PARITY_POLICY)
+        trainable = idbooth.init_trainable(jax.random.key(4), cfg, TINY, frozen["unet"])
+        with pytest.raises(ValueError, match="identity_chunk"):
+            loss_fn(trainable, frozen, batch, jax.random.key(0))
+    # divisor (and the degenerate full-batch chunk) still work
+    for ok in (1, 3):
+        cfg = idbooth.IDBoothConfig(
+            which_loss="triplet_prior", train_batch_size=3, identity_chunk=ok
+        )
+        loss_fn = idbooth.make_loss_fn(cfg, TINY, sched, policy=PARITY_POLICY)
+        trainable = idbooth.init_trainable(jax.random.key(4), cfg, TINY, frozen["unet"])
+        loss, _ = loss_fn(trainable, frozen, batch, jax.random.key(0))
+        assert np.isfinite(float(loss))
