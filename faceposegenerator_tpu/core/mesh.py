@@ -76,3 +76,37 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     if global_batch % n_data != 0:
         raise ValueError(f"global batch {global_batch} % data axis {n_data} != 0")
     return global_batch // n_data
+
+
+def host_row_slice(global_rows: int, num_hosts: int, host_id: int) -> slice:
+    """The contiguous row range of a global batch that host `host_id` owns.
+
+    Replaces Accelerate's dataloader wrap (`train_ID-Booth.py:890-898`):
+    each host loads ONLY its slice; concatenating the slices in host order
+    reconstructs the exact single-process batch (the contract the sharded
+    dataset tests pin). Contiguous (not round-robin) so host h's rows land
+    on host h's devices when the mesh "data" axis is process-major —
+    `form_global_batch` then needs no cross-host data movement."""
+    if global_rows % num_hosts != 0:
+        raise ValueError(f"global rows {global_rows} % hosts {num_hosts} != 0")
+    per = global_rows // num_hosts
+    if not (0 <= host_id < num_hosts):
+        raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
+    return slice(host_id * per, (host_id + 1) * per)
+
+
+def form_global_batch(mesh: Mesh, host_local_batch):
+    """Assemble each host's local batch rows into globally-sharded arrays
+    (batch dim over "data"). Multi-process: zero-copy placement of the
+    host-local shard via `jax.make_array_from_process_local_data`;
+    single-process (tests, one host): plain sharded device_put."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, host_local_batch)
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), x
+        )
+
+    return jax.tree.map(_put, host_local_batch)

@@ -131,6 +131,69 @@ class DreamBoothDataset:
             )
         return out
 
+    def _instance_row(self, index: int) -> Dict[str, np.ndarray]:
+        iname = self.instance_images[index % len(self.instance_images)]
+        return {
+            "pixel_values": self._load_image(os.path.join(self.instance_dir, iname)),
+            "input_ids": self.instance_ids,
+            "gt_embeds": self._load_embed(iname),
+        }
+
+    def _class_row(self, index: int) -> Dict[str, np.ndarray]:
+        cname = self.class_images[index % len(self.class_images)]
+        cpath = os.path.join(os.path.dirname(self.class_dir) or ".", "class_embed.npy")
+        return {
+            "pixel_values": self._load_image(os.path.join(self.class_dir, cname)),
+            "input_ids": self.class_ids,
+            "gt_embeds": (
+                np.asarray(np.load(cpath), np.float32).reshape(-1)
+                if os.path.exists(cpath)
+                else np.zeros((self.embed_dim,), np.float32)
+            ),
+        }
+
+    def sharded_batches(
+        self,
+        batch_size: int,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        epoch: int = 0,
+        order_seed: int = 0,
+    ):
+        """Per-HOST loading for multi-host DP (VERDICT r2 #4b): yields this
+        host's contiguous row slice of each GLOBAL prior-concat batch
+        ([instance × B_g; class × B_g], B_g = batch_size · num_shards),
+        loading ONLY the files those rows reference. Every host derives the
+        identical global order from (order_seed, epoch) — concatenating the
+        shards in host order reconstructs the exact single-process batch
+        (`core.mesh.host_row_slice` layout; assembled on device by
+        `core.mesh.form_global_batch`). Replaces the reference's Accelerate
+        dataloader wrap (`train_ID-Booth.py:890-898`)."""
+        from ..core.mesh import host_row_slice
+
+        if not self.class_images:
+            raise ValueError("sharded_batches requires prior preservation (class images)")
+        b_global = batch_size * num_shards
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng((order_seed, epoch)).shuffle(order)
+        n_full = len(order) // b_global if drop_last else -(-len(order) // b_global)
+        for bi in range(n_full):
+            idx = order[bi * b_global : (bi + 1) * b_global]
+            # global rows: [instance(idx[0..B_g]); class(idx[0..B_g])]
+            rows = host_row_slice(2 * b_global, num_shards, shard_index)
+            items = [
+                self._instance_row(idx[r]) if r < b_global else self._class_row(idx[r - b_global])
+                for r in range(rows.start, rows.stop)
+            ]
+            yield {
+                "pixel_values": np.stack([it["pixel_values"] for it in items]).astype(np.float32),
+                "input_ids": np.stack([it["input_ids"] for it in items]).astype(np.int32),
+                "gt_embeds": np.stack([it["gt_embeds"] for it in items]).astype(np.float32),
+            }
+
     def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
         """Yields collated prior-concat batches: pixel_values (2B,H,W,3)
         = [instance; class], input_ids (2B,77), gt_embeds (2B,512)."""

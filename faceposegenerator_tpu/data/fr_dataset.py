@@ -64,14 +64,34 @@ class FlatDirDataset:
         return (x - 0.5) / 0.5, self.label_map[self.labels[i]]
 
     def batches(
-        self, batch_size: int, shuffle: bool = True, drop_last: bool = True
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        epoch: int = 0,
+        order_seed: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
+        """`num_shards`/`shard_index`: per-host DP loading — each host takes
+        its contiguous `batch_size` row slice of every global batch of
+        `batch_size · num_shards`, deriving the identical global order from
+        (order_seed, epoch) on every host; concatenating shard batches in
+        host order reconstructs the single-process sequence (the reference
+        gets this from Accelerate's dataloader wrap, `train_FR.py:227-229`)."""
         order = np.arange(len(self))
         if shuffle:
-            self.rng.shuffle(order)
-        n = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+            if num_shards > 1:
+                np.random.default_rng((order_seed, epoch)).shuffle(order)
+            else:
+                self.rng.shuffle(order)
+        b_global = batch_size * num_shards
+        n = len(order) // b_global if drop_last else -(-len(order) // b_global)
+        from ..core.mesh import host_row_slice
+
+        rows = host_row_slice(b_global, num_shards, shard_index)
         for bi in range(n):
-            idx = order[bi * batch_size : (bi + 1) * batch_size]
+            idx = order[bi * b_global : (bi + 1) * b_global][rows]
             imgs, labels = zip(*(self[i] for i in idx))
             yield {
                 "images": np.stack(imgs).astype(np.float32),

@@ -171,13 +171,29 @@ class MXFaceDataset:
         )
         return {"images": out, "labels": labels}
 
-    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        """`num_shards`/`shard_index`: per-host DP loading — every host
+        derives the same global order from `seed`, then preads/decodes ONLY
+        its contiguous `batch_size` slice of each global batch (see
+        `FlatDirDataset.batches`; `core.mesh.form_global_batch` assembles)."""
+        from ..core.mesh import host_row_slice
+
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        n = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+        b_global = batch_size * num_shards
+        rows = host_row_slice(b_global, num_shards, shard_index)
+        n = len(order) // b_global if drop_last else -(-len(order) // b_global)
         for bi in range(n):
-            idx = order[bi * batch_size : (bi + 1) * batch_size]
+            idx = order[bi * b_global : (bi + 1) * b_global][rows]
             if self._native is not None:
                 try:
                     yield self._batch_native(idx)
