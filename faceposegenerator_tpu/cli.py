@@ -110,12 +110,21 @@ def cmd_extract_embeds(argv):
     ap.add_argument("--output_root", required=True)
     ap.add_argument("--arcface_weights", default=None)
     ap.add_argument("--mtcnn_weights", default=None)
+    ap.add_argument("--streaming", action="store_true",
+                    help="pipelined path: native JPEG decode → batched detect → "
+                         "device crop+embed in ONE program (uniform-size datasets)")
+    ap.add_argument("--batch_size", type=int, default=64)
     args = ap.parse_args(argv)
 
     import jax
 
     from .models import iresnet, mtcnn
-    from .pipelines.embed_extract import extract_folder_embeddings, make_arcface_embed_fn
+    from .pipelines.embed_extract import (
+        extract_embeddings_streaming,
+        extract_folder_embeddings,
+        make_arcface_embed_fn,
+        make_crop_embed_fn,
+    )
 
     if args.arcface_weights:
         from .bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
@@ -128,8 +137,17 @@ def cmd_extract_embeds(argv):
         from .bridge.torch_weights import load_torch_pth
 
         detector = mtcnn.MTCNN(mtcnn.convert_mtcnn_state_dict(load_torch_pth(args.mtcnn_weights)))
-    embed_fn = make_arcface_embed_fn(params, state)
-    report = extract_folder_embeddings(args.images_root, args.output_root, embed_fn, detector)
+    if args.streaming:
+        crop_embed = make_crop_embed_fn(params, state)
+        report = extract_embeddings_streaming(
+            args.images_root, args.output_root, crop_embed, detector,
+            batch_size=args.batch_size,
+        )
+    else:
+        embed_fn = make_arcface_embed_fn(params, state)
+        report = extract_folder_embeddings(
+            args.images_root, args.output_root, embed_fn, detector
+        )
     print(json.dumps({"missing": len(report["files_without_faces"])}))
 
 
@@ -304,7 +322,12 @@ def cmd_parity(argv):
     JSON. Executable the day weights exist; smoke-tested on random tiny
     checkpoints in tests/test_parity_cli.py."""
     ap = argparse.ArgumentParser(prog="parity")
-    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--model_dir", default=None, help="diffusers-format SD dir (CLIP/UNet/VAE leg)")
+    ap.add_argument("--arcface_pth", default=None, help="ArcFace iresnet .pth (identity-stack leg)")
+    ap.add_argument("--arcface_network", default="r100")
+    ap.add_argument("--mtcnn", default=None,
+                    help="facenet-pytorch MTCNN weights: dir with pnet.pt/rnet.pt/onet.pt "
+                         "or one .pt with pnet./rnet./onet.-prefixed keys")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--prompt", default="face portrait photo of sks person")
     ap.add_argument("--negative_prompt", default="")
@@ -326,6 +349,129 @@ def cmd_parity(argv):
     from .data.tokenizer import CLIPTokenizer
     from .diffusion import make_ddpm
     from .models import clip_text, unet2d, vae
+
+    if not (args.model_dir or args.arcface_pth or args.mtcnn):
+        ap.error("give at least one of --model_dir / --arcface_pth / --mtcnn")
+
+    verdict = {"tolerance": args.tolerance}
+    leg_passes = []
+
+    # -- identity-stack legs (VERDICT r2 #8) --------------------------------
+
+    if args.arcface_pth:
+        # `prepare_locked_ArcFace_model` (`ArcFace_files/ArcFace_functions.py:27-36`)
+        from .bridge.torch_weights import convert_iresnet_state_dict
+        from .models import iresnet
+
+        raw = load_torch_pth(args.arcface_pth)
+        for container in ("state_dict", "backbone", "model"):
+            if container in raw and isinstance(raw[container], dict):
+                raw = raw[container]
+        acfg = iresnet.config_for(args.arcface_network)
+        jp, js = convert_iresnet_state_dict(raw, acfg)
+        rng = np.random.default_rng(args.seed)
+        x = rng.uniform(-1, 1, (4, 112, 112, 3)).astype(np.float32)
+        emb, _ = iresnet.apply(jp, js, jnp.asarray(x), acfg, policy=PARITY_POLICY, train=False)
+        emb = np.asarray(emb)
+        leg = {"pth": args.arcface_pth, "network": args.arcface_network,
+               "embed_finite": bool(np.isfinite(emb).all())}
+        # oracle: the reference implementation itself, loading the SAME .pth
+        try:
+            import sys as _sys
+
+            if "/root/reference" not in _sys.path:
+                _sys.path.insert(0, "/root/reference")
+            from ArcFace_files.backbones import iresnet as torch_iresnet
+
+            tm = getattr(torch_iresnet, f"iresnet{args.arcface_network.lstrip('r')}")(
+                num_features=acfg.num_features
+            ).eval()
+            tm.load_state_dict({k: torch.from_numpy(np.asarray(v)).float() for k, v in raw.items()})
+            with torch.no_grad():
+                emb_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+            leg["embed_max_abs"] = float(np.max(np.abs(emb - emb_t)))
+            # relative: random-init checkpoints produce huge-magnitude
+            # embeddings where fp32 reduction noise scales with the values
+            leg["embed_rel"] = float(
+                leg["embed_max_abs"] / max(float(np.max(np.abs(emb_t))), 1e-6)
+            )
+            leg["pass"] = bool(
+                leg["embed_finite"]
+                and (leg["embed_max_abs"] < 1e-2 or leg["embed_rel"] < 1e-3)
+            )
+            leg_passes.append(leg["pass"])
+        except ImportError as e:  # deployment without the reference tree
+            leg["oracle"] = f"unavailable ({e}); conversion smoke only"
+            leg_passes.append(leg["embed_finite"])
+        verdict["arcface"] = leg
+
+    if args.mtcnn:
+        from .bridge.torch_mirror import TONet, TPNet, TRNet
+        from .models import mtcnn as mtcnn_mod
+
+        if os.path.isdir(args.mtcnn):
+            sd = {}
+            for net in ("pnet", "rnet", "onet"):
+                raw = load_torch_pth(os.path.join(args.mtcnn, f"{net}.pt"))
+                sd.update({f"{net}.{k}": v for k, v in raw.items()})
+        else:
+            sd = load_torch_pth(args.mtcnn)
+        params = mtcnn_mod.convert_mtcnn_state_dict(sd)
+        rng = np.random.default_rng(args.seed)
+        diffs = {}
+
+        def _sub(prefix):
+            return {k[len(prefix) + 1:]: torch.from_numpy(np.asarray(v)).float()
+                    for k, v in sd.items() if k.startswith(prefix + ".")}
+
+        xp = rng.uniform(-1, 1, (2, 64, 80, 3)).astype(np.float32)
+        pp, pr = mtcnn_mod.pnet_apply(params["pnet"], jnp.asarray(xp))
+        tp = TPNet().eval(); tp.load_state_dict(_sub("pnet"))
+        with torch.no_grad():
+            tpp, tprg = tp(torch.from_numpy(xp.transpose(0, 3, 1, 2).copy()))
+        diffs["pnet_prob"] = float(np.max(np.abs(np.asarray(pp) - tpp.numpy())))
+        diffs["pnet_reg"] = float(
+            np.max(np.abs(np.asarray(pr) - tprg.permute(0, 2, 3, 1).numpy()))
+        )
+
+        xr = rng.uniform(-1, 1, (3, 24, 24, 3)).astype(np.float32)
+        rp, rr = mtcnn_mod.rnet_apply(params["rnet"], jnp.asarray(xr))
+        tr = TRNet().eval(); tr.load_state_dict(_sub("rnet"))
+        with torch.no_grad():
+            trp, trrg = tr(torch.from_numpy(xr.transpose(0, 3, 1, 2).copy()))
+        diffs["rnet_prob"] = float(np.max(np.abs(np.asarray(rp) - trp.numpy())))
+        diffs["rnet_reg"] = float(np.max(np.abs(np.asarray(rr) - trrg.numpy())))
+
+        xo = rng.uniform(-1, 1, (3, 48, 48, 3)).astype(np.float32)
+        op_, orr, olm = mtcnn_mod.onet_apply(params["onet"], jnp.asarray(xo))
+        to = TONet().eval(); to.load_state_dict(_sub("onet"))
+        with torch.no_grad():
+            top_, torg, tolm = to(torch.from_numpy(xo.transpose(0, 3, 1, 2).copy()))
+        diffs["onet_prob"] = float(np.max(np.abs(np.asarray(op_) - top_.numpy())))
+        diffs["onet_reg"] = float(np.max(np.abs(np.asarray(orr) - torg.numpy())))
+        diffs["onet_lmk"] = float(np.max(np.abs(np.asarray(olm) - tolm.numpy())))
+
+        # full-cascade smoke with the real weights (detections are
+        # input-dependent; parity is certified at the net level, the cascade
+        # logic by the golden-weights tests)
+        det = mtcnn_mod.MTCNN(params=params)
+        boxes, probs = det.detect(
+            rng.uniform(0, 255, (160, 160, 3)).astype(np.float32)
+        )
+        ok = all(v < args.tolerance * 10 for v in diffs.values())
+        verdict["mtcnn"] = {
+            "weights": args.mtcnn, "net_max_abs": diffs,
+            "cascade_detections": 0 if boxes is None else int(len(boxes)),
+            "pass": bool(ok),
+        }
+        leg_passes.append(ok)
+
+    if not args.model_dir:
+        verdict["pass"] = bool(all(leg_passes))
+        with open(args.output, "w") as f:
+            json.dump(verdict, f, indent=2)
+        print(json.dumps(verdict))
+        return
 
     text_cfg, unet_cfg, vae_cfg = configs_from_model_dir(args.model_dir)
     params = load_sd21_params(args.model_dir)
@@ -389,7 +535,14 @@ def cmd_parity(argv):
         img_t = tm_vae.decode(torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).contiguous())
     image_max = float(np.max(np.abs(np.asarray(img) - img_t.permute(0, 2, 3, 1).numpy())))
 
-    verdict = {
+    diffusion_pass = bool(
+        max(eps_max) < args.tolerance
+        and image_max < args.tolerance
+        and not missing
+        and not mv
+    )
+    leg_passes.append(diffusion_pass)
+    verdict.update({
         "model_dir": args.model_dir,
         "steps": args.steps,
         "eps_max_abs_per_step": eps_max,
@@ -398,14 +551,8 @@ def cmd_parity(argv):
         "unet_unexpected_keys": len(unexpected),
         "vae_missing_keys": len(mv),
         "vae_unexpected_keys": len(uv),
-        "tolerance": args.tolerance,
-        "pass": bool(
-            max(eps_max) < args.tolerance
-            and image_max < args.tolerance
-            and not missing
-            and not mv
-        ),
-    }
+        "pass": bool(all(leg_passes)),
+    })
     with open(args.output, "w") as f:
         json.dump(verdict, f, indent=2)
     print(json.dumps(verdict))
@@ -429,11 +576,26 @@ def cmd_serve(argv):
         "--lora", action="append", default=[], metavar="NAME=CKPT_DIR",
         help="register a LoRA checkpoint (repeatable)",
     )
+    ap.add_argument(
+        "--data_parallel", type=int, default=0, metavar="N",
+        help="serve over an N-device data-parallel mesh (batch sharded over "
+             "'data', params/LoRAs replicated); 0 = single device",
+    )
+    ap.add_argument("--max_queue", type=int, default=None)
+    ap.add_argument("--request_timeout_s", type=float, default=None)
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
     from .serving import SamplerServer
     from .serving.http_api import serve_http
+
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from .core.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[: args.data_parallel])
 
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
     pipe.set_scheduler(args.scheduler)
@@ -441,6 +603,8 @@ def cmd_serve(argv):
         pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
         num_inference_steps=args.steps, guidance_scale=args.guidance,
         height=args.size, width=args.size, scheduler=args.scheduler,
+        mesh=mesh, max_queue=args.max_queue,
+        request_timeout_s=args.request_timeout_s,
     )
     for spec in args.lora:
         name, _, path = spec.partition("=")
