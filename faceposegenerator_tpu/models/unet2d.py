@@ -271,13 +271,28 @@ def init_lora(key: jax.Array, params, rank: int = 4, dtype=jnp.float32, targets=
 # ---------------------------------------------------------------------------
 
 
+def _gn_silu_conv(x, norm_p, conv_p, num_groups):
+    """conv3x3(silu(gn(x))) — routed to the Pallas conv-prologue fusion
+    (`ops/fused_gn_conv.py`) on eligible shapes when GN_CONV_IMPL=pallas;
+    XLA formulation otherwise."""
+    from ..ops.fused_gn_conv import gn_conv_impl, gn_silu_conv3x3, supported
+
+    if gn_conv_impl() == "pallas" and jax.default_backend() == "tpu":
+        n, h, w, cin = x.shape
+        cout = conv_p["w"].shape[-1]
+        if conv_p["w"].shape[:2] == (3, 3) and supported(n, h, w, cin, cout, num_groups):
+            return gn_silu_conv3x3(
+                x, norm_p["g"], norm_p["b"], conv_p["w"], conv_p["b"], num_groups, 1e-5
+            )
+    h = group_norm(x, norm_p["g"], norm_p["b"], num_groups=num_groups, eps=1e-5, act="silu")
+    return conv2d(h, conv_p)
+
+
 def _resblock_apply(p, x, temb, policy: Policy, num_groups: int = 32):
-    h = group_norm(x, p["norm1"]["g"], p["norm1"]["b"], num_groups=num_groups, eps=1e-5, act="silu")
-    h = conv2d(h, p["conv1"])
+    h = _gn_silu_conv(x, p["norm1"], p["conv1"], num_groups)
     t = lora_dense(jax.nn.silu(temb), p["time_emb_proj"]["w"], p["time_emb_proj"]["b"])
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = group_norm(h, p["norm2"]["g"], p["norm2"]["b"], num_groups=num_groups, eps=1e-5, act="silu")
-    h = conv2d(h, p["conv2"])
+    h = _gn_silu_conv(h, p["norm2"], p["conv2"], num_groups)
     if "conv_shortcut" in p:
         x = conv2d(x, p["conv_shortcut"], padding=0)
     return x + h

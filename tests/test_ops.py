@@ -318,3 +318,60 @@ def test_flash_split_kv_matches_reference(monkeypatch):
         vv = v[:, :kv_len] if kv_len else v
         ref = _reference_attention(q, kk, vv, 64**-0.5, None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,cout,groups",
+    [
+        ((2, 16, 16, 320), 320, 32),  # SD level-0 shapes (reduced spatial)
+        ((1, 8, 8, 64), 96, 8),       # cin != cout
+        ((1, 24, 16, 96), 64, 16),    # non-square, h % chunk != 0 fallback rows
+    ],
+)
+def test_fused_gn_silu_conv3x3_matches_reference(shape, cout, groups):
+    """conv-prologue fusion (interpret mode): gn_silu_conv3x3 must match
+    conv2d(silu(group_norm(x))) — the resblock's first two ops."""
+    from faceposegenerator_tpu.models.unet2d import conv2d
+    from faceposegenerator_tpu.ops.fused_gn_conv import gn_silu_conv3x3, supported
+
+    n, h, w, cin = shape
+    assert supported(n, h, w, cin, cout, groups)
+    rng = np.random.default_rng(7)
+    gamma = jnp.asarray(rng.standard_normal(cin), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(cin), jnp.float32)
+    cw = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.float32)
+    cb = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    for dtype, atol in ((jnp.float32, 5e-4), (jnp.bfloat16, 1e-1)):
+        x = jnp.asarray(rng.standard_normal(shape) * 2 + 0.5).astype(dtype)
+        got = gn_silu_conv3x3(x, gamma, beta, cw, cb, groups, 1e-5, True)
+        href = group_norm(x, gamma, beta, num_groups=groups, eps=1e-5, act="silu")
+        ref = conv2d(href, {"w": cw, "b": cb})
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=atol, rtol=atol,
+        )
+
+
+def test_fused_gn_silu_conv3x3_gradients_match_reference():
+    from faceposegenerator_tpu.models.unet2d import conv2d
+    from faceposegenerator_tpu.ops.fused_gn_conv import gn_silu_conv3x3
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    cw = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.float32)
+    cb = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    def loss_fused(x, g, b, w_, cb_):
+        return jnp.sum(gn_silu_conv3x3(x, g, b, w_, cb_, 8, 1e-5, True) ** 2)
+
+    def loss_ref(x, g, b, w_, cb_):
+        h = group_norm(x, g, b, num_groups=8, eps=1e-5, act="silu")
+        return jnp.sum(conv2d(h, {"w": w_, "b": cb_}) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, cw, cb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, cw, cb)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
