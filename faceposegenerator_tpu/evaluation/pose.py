@@ -80,6 +80,89 @@ def make_pose_fn(params, cfg: repvgg.RepVGGConfig = repvgg.REPVGG_B1G2):
     return pose
 
 
+def make_pose_fn_u8(
+    params,
+    cfg: repvgg.RepVGGConfig = repvgg.REPVGG_B1G2,
+    pad: int = 30,
+    size: int = 224,
+):
+    """Jitted uint8 (B,H,W,3) ANY-resolution -> (B, 3) degrees.
+
+    Device-side preprocessing (edge-pad 30px → bilinear resize 224 →
+    imagenet norm) so the in-memory sweep path skips the PNG round-trip and
+    host PIL work of `preprocess_for_pose` (VERDICT r2 #1)."""
+    from ..ops.image import resize_bilinear
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def pose(x_u8):
+        x = x_u8.astype(jnp.float32)
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+        x = resize_bilinear(x, (size, size))
+        x = (x / 255.0 - mean) / std
+        feats = repvgg.apply(params["backbone"], x, cfg)
+        sixd = feats @ params["head"]["w"].T + params["head"]["b"]
+        return euler_from_rotation(rotation_from_ortho6d(sixd))
+
+    return pose
+
+
+def poses_for_images(
+    images_u8,
+    idents,
+    pose_fn_u8: Callable,
+    batch_size: int = 0,
+) -> Dict[str, List[List[float]]]:
+    """Per-identity pose lists from in-memory uint8 images — the streaming
+    counterpart of `estimate_dataset_poses` for generate→eval pipelines.
+    Device results are forced ONCE at the end, so callers can keep the
+    device busy with the next generation batch meanwhile."""
+    n = len(idents)
+    parts = []
+    step = batch_size or n
+    for start in range(0, n, step):
+        parts.append(pose_fn_u8(images_u8[start : start + step]))
+    all_poses = np.asarray(jnp.concatenate(parts)) if parts else np.zeros((0, 3))
+    per_id: Dict[str, List[List[float]]] = {}
+    for ident, p in zip(idents, all_poses):
+        per_id.setdefault(str(ident), []).append([float(v) for v in p])
+    return per_id
+
+
+def aggregate_poses(
+    per_id: Dict[str, List[List[float]]],
+    output_json: Optional[str] = None,
+) -> Dict:
+    """Global + per-identity pitch/yaw/roll statistics and the pose-diversity
+    number (mean over identities of per-ID std — the paper table)."""
+    all_poses = np.array([p for v in per_id.values() for p in v]) if per_id else np.zeros((0, 3))
+    result = {
+        "global": {
+            "mean": all_poses.mean(0).tolist() if len(all_poses) else [0, 0, 0],
+            "std": all_poses.std(0).tolist() if len(all_poses) else [0, 0, 0],
+            "count": int(len(all_poses)),
+        },
+        "per_id": {
+            k: {
+                "mean": np.mean(v, 0).tolist(),
+                "std": np.std(v, 0).tolist(),
+                "poses": v,
+            }
+            for k, v in per_id.items()
+        },
+    }
+    if per_id:
+        stds = np.array([np.std(v, 0) for v in per_id.values()])
+        result["pose_diversity"] = stds.mean(0).tolist()
+    if output_json:
+        os.makedirs(os.path.dirname(output_json) or ".", exist_ok=True)
+        with open(output_json, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -130,28 +213,4 @@ def estimate_dataset_poses(
                 flush()
     flush()
 
-    all_poses = np.array([p for v in per_id.values() for p in v]) if per_id else np.zeros((0, 3))
-    result = {
-        "global": {
-            "mean": all_poses.mean(0).tolist() if len(all_poses) else [0, 0, 0],
-            "std": all_poses.std(0).tolist() if len(all_poses) else [0, 0, 0],
-            "count": int(len(all_poses)),
-        },
-        "per_id": {
-            k: {
-                "mean": np.mean(v, 0).tolist(),
-                "std": np.std(v, 0).tolist(),
-                "poses": v,
-            }
-            for k, v in per_id.items()
-        },
-    }
-    # pose diversity = mean over identities of per-ID std (the paper table)
-    if per_id:
-        stds = np.array([np.std(v, 0) for v in per_id.values()])
-        result["pose_diversity"] = stds.mean(0).tolist()
-    if output_json:
-        os.makedirs(os.path.dirname(output_json) or ".", exist_ok=True)
-        with open(output_json, "w") as f:
-            json.dump(result, f, indent=2)
-    return result
+    return aggregate_poses(per_id, output_json)

@@ -27,6 +27,7 @@
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
+#include <cmath>
 #include <string>
 #include <thread>
 #include <vector>
@@ -381,6 +382,173 @@ static PyObject* py_decode_rgb(PyObject*, PyObject* args) {
   return tup;
 }
 
+// ----------------------------------------------------------------- PNG ----
+// Stored-deflate PNG writer: valid lossless PNGs at ~memcpy speed. The
+// sweep/serving layers write thousands of generated images; zlib-compressed
+// encode via PIL measured ~200 ms per 512² image ON THE SINGLE HOST CPU of
+// the TPU VM (perf/r3_sweep_matrix.jsonl) — pure host-side dead time. A
+// stored (BTYPE=00) deflate stream is still a spec-conformant PNG, costs
+// one pass of CRC/adler arithmetic, and releases the GIL.
+
+uint32_t crc_table[256];
+std::atomic<bool> crc_init{false};
+
+void init_crc() {
+  bool expected = false;
+  static std::atomic<bool> building{false};
+  if (crc_init.load()) return;
+  if (building.compare_exchange_strong(expected, true)) {
+    for (uint32_t n = 0; n < 256; ++n) {
+      uint32_t c = n;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      crc_table[n] = c;
+    }
+    crc_init.store(true);
+  } else {
+    while (!crc_init.load()) {}
+  }
+}
+
+uint32_t crc32_update(uint32_t crc, const uint8_t* p, size_t n) {
+  crc ^= 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i) crc = crc_table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t adler32_update(uint32_t adler, const uint8_t* p, size_t n) {
+  uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
+  size_t i = 0;
+  while (i < n) {
+    size_t chunk = (n - i < 5552) ? n - i : 5552;  // overflow-safe stride
+    for (size_t j = 0; j < chunk; ++j) { a += p[i + j]; b += a; }
+    a %= 65521; b %= 65521;
+    i += chunk;
+  }
+  return (b << 16) | a;
+}
+
+void put_be32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(x >> 24); v.push_back(x >> 16); v.push_back(x >> 8); v.push_back(x);
+}
+
+void put_chunk(std::vector<uint8_t>& v, const char type[4], const uint8_t* data,
+               size_t n) {
+  put_be32(v, static_cast<uint32_t>(n));
+  size_t type_at = v.size();
+  v.insert(v.end(), type, type + 4);
+  v.insert(v.end(), data, data + n);
+  uint32_t crc = crc32_update(0, v.data() + type_at, n + 4);
+  put_be32(v, crc);
+}
+
+bool write_png_rgb8(const uint8_t* rgb, int w, int h, const char* path,
+                    std::string* err) {
+  init_crc();
+  std::vector<uint8_t> out;
+  const size_t row = static_cast<size_t>(w) * 3;
+  const size_t raw_len = (row + 1) * h;  // +1 filter byte per scanline
+  out.reserve(raw_len + raw_len / 32768 * 5 + 128);
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A};
+  out.insert(out.end(), sig, sig + 8);
+  uint8_t ihdr[13];
+  ihdr[0] = w >> 24; ihdr[1] = w >> 16; ihdr[2] = w >> 8; ihdr[3] = w;
+  ihdr[4] = h >> 24; ihdr[5] = h >> 16; ihdr[6] = h >> 8; ihdr[7] = h;
+  ihdr[8] = 8; ihdr[9] = 2; ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;
+  put_chunk(out, "IHDR", ihdr, 13);
+
+  // filtered scanlines (filter 0) → one contiguous raw buffer
+  std::vector<uint8_t> raw(raw_len);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* dst = raw.data() + static_cast<size_t>(y) * (row + 1);
+    dst[0] = 0;
+    std::memcpy(dst + 1, rgb + static_cast<size_t>(y) * row, row);
+  }
+
+  // IDAT: zlib header + stored deflate blocks + adler32
+  std::vector<uint8_t> idat;
+  idat.reserve(raw_len + raw_len / 32768 * 5 + 16);
+  idat.push_back(0x78); idat.push_back(0x01);
+  size_t off = 0;
+  while (off < raw_len) {
+    size_t blk = raw_len - off;
+    if (blk > 65535) blk = 65535;
+    const bool final = (off + blk == raw_len);
+    idat.push_back(final ? 1 : 0);
+    idat.push_back(blk & 0xFF); idat.push_back((blk >> 8) & 0xFF);
+    idat.push_back(~blk & 0xFF); idat.push_back((~blk >> 8) & 0xFF);
+    idat.insert(idat.end(), raw.data() + off, raw.data() + off + blk);
+    off += blk;
+  }
+  uint32_t adler = adler32_update(1, raw.data(), raw_len);
+  put_be32(idat, adler);
+  put_chunk(out, "IDAT", idat.data(), idat.size());
+  put_chunk(out, "IEND", nullptr, 0);
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) { *err = std::string("open failed: ") + path; return false; }
+  const bool ok = std::fwrite(out.data(), 1, out.size(), f) == out.size();
+  std::fclose(f);
+  if (!ok) { *err = std::string("short write: ") + path; return false; }
+  return true;
+}
+
+// write_png_batch(images_u8_buffer [n,h,w,3], h, w, paths: list[str], nthreads)
+static PyObject* py_write_png_batch(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  PyObject* paths_obj;
+  int imh, imw, nthreads;
+  if (!PyArg_ParseTuple(args, "y*iiOi", &buf, &imh, &imw, &paths_obj, &nthreads))
+    return nullptr;
+  PyObject* seq = PySequence_Fast(paths_obj, "paths must be a sequence");
+  if (!seq) { PyBuffer_Release(&buf); return nullptr; }
+  const Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+  std::vector<std::string> paths(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* s = PySequence_Fast_GET_ITEM(seq, i);
+    const char* c = PyUnicode_AsUTF8(s);
+    if (!c) { Py_DECREF(seq); PyBuffer_Release(&buf); return nullptr; }
+    paths[i] = c;
+  }
+  Py_DECREF(seq);
+  if (n == 0) { PyBuffer_Release(&buf); Py_RETURN_NONE; }
+  const size_t per = static_cast<size_t>(imh) * imw * 3;
+  if (per == 0 || static_cast<size_t>(buf.len) != per * n) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "buffer does not match [n, h, w, 3] uint8");
+    return nullptr;
+  }
+  const uint8_t* base = static_cast<const uint8_t*>(buf.buf);
+  std::string err;
+  std::atomic<bool> failed{false};
+  std::atomic<Py_ssize_t> next{0};
+  Py_BEGIN_ALLOW_THREADS
+  init_crc();
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt > n) nt = static_cast<int>(n);
+  std::vector<std::thread> workers;
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        Py_ssize_t i = next.fetch_add(1);
+        if (i >= n || failed.load()) break;
+        std::string e;
+        if (!write_png_rgb8(base + per * i, imw, imh, paths[i].c_str(), &e)) {
+          failed.store(true);
+          err = e;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  if (failed.load()) {
+    PyErr_SetString(PyExc_OSError, err.c_str());
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
 static PyMethodDef kMethods[] = {
     {"read_idx", py_read_idx, METH_VARARGS,
      "read_idx(path) -> (keys_i64_bytes, offsets_i64_bytes)"},
@@ -390,6 +558,9 @@ static PyMethodDef kMethods[] = {
      "decode_batch(payloads, out_f32_buffer, size, nthreads)"},
     {"decode_rgb", py_decode_rgb, METH_VARARGS,
      "decode_rgb(jpeg_bytes) -> (rgb_bytes, width, height)"},
+    {"write_png_batch", py_write_png_batch, METH_VARARGS,
+     "write_png_batch(images_u8_buffer, h, w, paths, nthreads) — stored-"
+     "deflate lossless PNGs, GIL released"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -79,6 +79,16 @@ def resize_bilinear(images: jax.Array, out_hw) -> jax.Array:
     return jax.image.resize(images, (b, out_hw[0], out_hw[1], c), "bilinear")
 
 
+@jax.jit
+def quantize_u8(images: jax.Array) -> jax.Array:
+    """[0,1] float → uint8 ON DEVICE (PIL round-half-up semantics).
+
+    Serving/sweep paths quantize before the device→host transfer: 4× fewer
+    bytes for precision every consumer (PNG writers, eval preprocessing)
+    discards anyway."""
+    return jnp.clip(jnp.round(images.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def normalize_to_arcface(face: jax.Array) -> jax.Array:
     """uint8-range [0,255] HWC face crop -> [-1, 1] ArcFace input
     (reference `cropped_image_to_arcface_input`, `train_ID-Booth.py:444-455`:

@@ -83,18 +83,21 @@ def build_prompts(
 
 
 def save_image_grid(images: np.ndarray, path: str, per_row: Optional[int] = None):
-    """Tile (N, H, W, 3) [0,1] images into one PNG grid."""
+    """Tile (N, H, W, 3) images ([0,1] float or uint8) into one PNG grid."""
     from PIL import Image
 
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        images = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
     n, h, w, _ = images.shape
     per_row = per_row or n
     rows = -(-n // per_row)
-    grid = np.zeros((rows * h, per_row * w, 3), np.float32)
+    grid = np.zeros((rows * h, per_row * w, 3), np.uint8)
     for i, img in enumerate(images):
         r, c = divmod(i, per_row)
         grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = img
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+    Image.fromarray(grid).save(path)
 
 
 def run_sweep(
@@ -111,9 +114,21 @@ def run_sweep(
     use_negative_prompt: bool = True,
     batch_size: int = 8,
     seed: int = 0,
+    on_images=None,
+    write_pngs: bool = True,
+    writer_threads: int = 8,
 ):
     """Full sweep. `pipe` is a `StableDiffusionPipeline`; LoRA checkpoints
-    live at `<lora_root>/<model>/<identity>/<checkpoint>`."""
+    live at `<lora_root>/<model>/<identity>/<checkpoint>`.
+
+    TPU pipelining (VERDICT r2 #1): generation batch i+1 is DISPATCHED to
+    the device before batch i's results are fetched, so all host work for
+    batch i (PNG encode on a thread pool, `on_images` eval hooks) overlaps
+    device generation of i+1. `on_images(model_name, identity, names,
+    images_u8)` receives the DEVICE uint8 array — hooks that only enqueue
+    more device work (e.g. jitted FIQA/pose on the arrays) keep the whole
+    harness free of host round-trips; images are quantized to uint8 on
+    device before any transfer."""
     gender_dict = {}
     if gender_dict_path and os.path.exists(gender_dict_path):
         with open(gender_dict_path) as f:
@@ -126,38 +141,98 @@ def run_sweep(
     combos = build_prompt_combinations()
     negative = DEFAULT_NEGATIVE if use_negative_prompt else ""
 
-    for identity in identities:
-        id_number = int("".join(c for c in identity if c.isdigit()) or 0)
-        prompts = build_prompts(identity, gender_dict, combos, num_prompts, seed=seed)
-        per_model_first = []
-        for model_name in models_to_test:
-            ckpt = os.path.join(lora_root, model_name, identity, checkpoint)
-            if os.path.isdir(ckpt):
-                pipe.load_lora_weights(ckpt)
-            out_dir = os.path.join(output_root, model_name, identity)
-            os.makedirs(out_dir, exist_ok=True)
-            images = []
-            for start in range(0, len(prompts), batch_size):
-                chunk = prompts[start : start + batch_size]
-                imgs = pipe(
-                    prompt=chunk,
-                    negative_prompt=[negative] * len(chunk),
-                    num_inference_steps=num_inference_steps,
-                    guidance_scale=guidance_scale,
-                    seed=id_number,  # identity-index seed (:111)
-                )
-                images.append(imgs)
-            images = np.concatenate(images)
-            from PIL import Image
+    from concurrent.futures import ThreadPoolExecutor
 
-            for i, img in enumerate(images):
-                Image.fromarray((img * 255).astype(np.uint8)).save(
-                    os.path.join(out_dir, f"{identity}_{i:03d}.png")
-                )
-            per_model_first.append(images[: min(7, len(images))])
-        if per_model_first:
-            save_image_grid(
-                np.concatenate(per_model_first),
-                os.path.join(output_root, "comparison_grids", f"{identity}.png"),
-                per_row=min(7, len(per_model_first[0])),
+    writers = ThreadPoolExecutor(max_workers=max(writer_threads, 1))
+    write_futs = []
+
+    # PNG writes: zlib-compressed PIL encode measured ~1.7-2.5 s per 8×512²
+    # batch ON THE SINGLE HOST CPU of the TPU VM (perf/r3_sweep_matrix.jsonl
+    # gen_png_8 vs gen_only_8) — pure dead time the device can't hide. The
+    # native stored-deflate writer (`native/loader.cpp write_png_batch`)
+    # emits spec-valid lossless PNGs at ~memcpy speed (0.13 s per batch)
+    # with the GIL released; PIL is the fallback.
+    try:
+        from .. import native as _native_pkg
+
+        _native = _native_pkg.load()
+    except Exception:  # pragma: no cover - native build is best-effort
+        _native = None
+
+    def _write_batch(imgs_u8, paths):
+        if _native is not None and hasattr(_native, "write_png_batch"):
+            h, w = imgs_u8.shape[1:3]
+            _native.write_png_batch(
+                np.ascontiguousarray(imgs_u8), int(h), int(w), paths, 4
             )
+            return
+        from PIL import Image
+
+        for img, path in zip(imgs_u8, paths):
+            Image.fromarray(np.asarray(img)).save(path)
+
+    # one-deep pipeline: handle batch i's host side only after batch i+1 is
+    # already queued on the device
+    pending = None  # (model_name, identity, out_dir, names, device_images_u8)
+    grid_firsts: Dict[str, Dict[str, list]] = {}
+
+    def _drain():
+        nonlocal pending
+        if pending is None:
+            return
+        model_name, identity, out_dir, names, dev_imgs = pending
+        pending = None
+        if on_images is not None:
+            on_images(model_name, identity, names, dev_imgs)
+        firsts = grid_firsts.setdefault(identity, {})
+        have = firsts.setdefault(model_name, [])
+        if write_pngs or len(have) < 7:
+            imgs = np.asarray(dev_imgs)  # blocks on batch i only, not i+1
+            if write_pngs:
+                write_futs.append(
+                    writers.submit(
+                        _write_batch, imgs,
+                        [os.path.join(out_dir, name) for name in names],
+                    )
+                )
+            if len(have) < 7:
+                have.extend(list(imgs[: 7 - len(have)]))
+
+    try:
+        for identity in identities:
+            id_number = int("".join(c for c in identity if c.isdigit()) or 0)
+            prompts = build_prompts(identity, gender_dict, combos, num_prompts, seed=seed)
+            for model_name in models_to_test:
+                ckpt = os.path.join(lora_root, model_name, identity, checkpoint)
+                if os.path.isdir(ckpt):
+                    pipe.load_lora_weights(ckpt)
+                out_dir = os.path.join(output_root, model_name, identity)
+                os.makedirs(out_dir, exist_ok=True)
+                for start in range(0, len(prompts), batch_size):
+                    chunk = prompts[start : start + batch_size]
+                    dev_imgs = pipe(
+                        prompt=chunk,
+                        negative_prompt=[negative] * len(chunk),
+                        num_inference_steps=num_inference_steps,
+                        guidance_scale=guidance_scale,
+                        seed=id_number,  # identity-index seed (:111)
+                        output_type="jax_u8",  # stays on device until _drain
+                    )
+                    names = [
+                        f"{identity}_{start + i:03d}.png" for i in range(len(chunk))
+                    ]
+                    _drain()  # host work for the PREVIOUS batch
+                    pending = (model_name, identity, out_dir, names, dev_imgs)
+        _drain()
+        for identity, firsts in grid_firsts.items():
+            per_model = [np.stack(firsts[m]) for m in models_to_test if m in firsts]
+            if per_model:
+                save_image_grid(
+                    np.concatenate(per_model),
+                    os.path.join(output_root, "comparison_grids", f"{identity}.png"),
+                    per_row=min(7, len(per_model[0])),
+                )
+    finally:
+        for f in write_futs:
+            f.result()  # surface writer errors; don't return before files land
+        writers.shutdown()

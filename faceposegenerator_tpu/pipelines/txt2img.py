@@ -159,6 +159,15 @@ class StableDiffusionPipeline:
             height=height, width=width, policy=self.policy,
             scheduler=self.scheduler_kind, lora=lora, lora_scale=self.lora_scale,
         )
+        if output_type in ("u8", "jax_u8"):
+            # device-side quantize: the sweep/serving consumers want uint8;
+            # transferring fp32 is 4× the bytes for discarded precision.
+            # "jax_u8" skips the host transfer entirely so callers can
+            # pipeline host work for batch i against device work for i+1
+            from ..ops.image import quantize_u8
+
+            u8 = quantize_u8(images)
+            return np.asarray(u8) if output_type == "u8" else u8
         if output_type == "np":
             return np.asarray(images)
         return images

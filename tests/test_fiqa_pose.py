@@ -167,3 +167,89 @@ def test_pose_dataset_aggregation(tmp_path):
     assert set(out["per_id"]) == {"1", "2"}
     np.testing.assert_allclose(out["pose_diversity"], [0, 0, 0], atol=1e-5)
     assert os.path.exists(tmp_path / "poses.json")
+
+
+def test_fiqa_u8_path_matches_host_path_at_112():
+    """At 112² (no resize), the device-preprocessing u8 quality fn must match
+    the host-normalized fn — the in-memory sweep path's correctness anchor."""
+    cfg = iresnet.config_for("r18", num_features=64)
+    params, state = iresnet.init(jax.random.key(0), cfg)
+    qs = fiqa.init_qs_head(jax.random.key(1))
+    fn = fiqa.make_quality_fn(params, state, qs, cfg, policy=PARITY_POLICY)
+    fn_u8 = fiqa.make_quality_fn_u8(params, state, qs, cfg, policy=PARITY_POLICY)
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (4, 112, 112, 3), np.uint8)
+    host = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    emb_a, q_a = fn(host)
+    emb_b, q_b = fn_u8(u8)
+    np.testing.assert_allclose(np.asarray(q_a), np.asarray(q_b), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(emb_a), np.asarray(emb_b), rtol=1e-3, atol=1e-3)
+
+
+def test_fiqa_score_images_matches_score_dataset_at_112(tmp_path):
+    """score_images on in-memory arrays == score_dataset on the same images
+    written as (lossless) PNGs, when no resize is involved."""
+    from PIL import Image
+
+    cfg = iresnet.config_for("r18", num_features=64)
+    params, state = iresnet.init(jax.random.key(0), cfg)
+    qs = fiqa.init_qs_head(jax.random.key(1))
+    fn = fiqa.make_quality_fn(params, state, qs, cfg, policy=PARITY_POLICY)
+    fn_u8 = fiqa.make_quality_fn_u8(params, state, qs, cfg, policy=PARITY_POLICY)
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (5, 112, 112, 3), np.uint8)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    names = []
+    for i in range(5):
+        p = d / f"{i}.png"
+        Image.fromarray(u8[i]).save(p)
+        names.append(str(p))
+
+    mem = fiqa.score_images(u8, names, fn_u8, str(tmp_path / "mem.txt"), batch_size=2)
+    disk = fiqa.score_dataset(str(d), fn, str(tmp_path / "disk.txt"), batch_size=2)
+    assert set(mem) == set(disk)
+    for k in mem:
+        assert mem[k] == pytest.approx(disk[k], rel=1e-3, abs=1e-3)
+    assert len(open(tmp_path / "mem.txt").read().strip().split("\n")) == 5
+
+
+def test_pose_u8_wrapper_matches_manual_device_preprocess():
+    """make_pose_fn_u8 == (edge-pad → device bilinear resize → imagenet
+    norm) fed to make_pose_fn — validates the fused device preprocessing."""
+    from faceposegenerator_tpu.ops.image import resize_bilinear
+
+    cfg = repvgg.RepVGGConfig(num_blocks=(1, 1, 1, 1), width_multiplier=(0.25, 0.25, 0.25, 0.5))
+    params = pose.init_sixdrepnet(jax.random.key(0), cfg)
+    fn = pose.make_pose_fn(params, cfg)
+    fn_u8 = pose.make_pose_fn_u8(params, cfg, pad=30, size=96)
+
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (3, 64, 64, 3), np.uint8)
+    x = np.pad(u8.astype(np.float32), ((0, 0), (30, 30), (30, 30), (0, 0)), mode="edge")
+    x = np.asarray(resize_bilinear(jnp.asarray(x), (96, 96)))
+    x = (x / 255.0 - pose.IMAGENET_MEAN) / pose.IMAGENET_STD
+    np.testing.assert_allclose(
+        np.asarray(fn_u8(u8)), np.asarray(fn(x)), atol=1e-3
+    )
+
+
+def test_poses_for_images_and_aggregate(tmp_path):
+    """Streaming path: poses_for_images + aggregate_poses gives the same
+    JSON shape/stats as the file-walking estimate_dataset_poses."""
+
+    def pose_fn(x):
+        return np.tile(np.array([[10.0, 20.0, 30.0]], np.float32), (x.shape[0], 1))
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (6, 32, 32, 3), np.uint8)
+    idents = ["1", "1", "1", "2", "2", "2"]
+    per_id = pose.poses_for_images(u8, idents, pose_fn, batch_size=4)
+    out = pose.aggregate_poses(per_id, str(tmp_path / "poses.json"))
+    assert out["global"]["count"] == 6
+    np.testing.assert_allclose(out["global"]["mean"], [10, 20, 30], atol=1e-5)
+    assert set(out["per_id"]) == {"1", "2"}
+    np.testing.assert_allclose(out["pose_diversity"], [0, 0, 0], atol=1e-5)
+    assert os.path.exists(tmp_path / "poses.json")
