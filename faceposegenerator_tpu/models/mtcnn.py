@@ -480,3 +480,62 @@ def convert_mtcnn_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
             "lmk": fc("onet.dense6_3"),
         },
     }
+
+
+def brightness_cascade_params() -> Dict:
+    """Deterministic hand-constructed weights that fire on a BRIGHT SQUARE:
+    P-Net channel 0 averages brightness through the stack and the face logit
+    is 50·feat−45 (prob≈1 only when the whole 12×12 receptive field is
+    bright); R-Net/O-Net always pass with zero regression and fixed landmark
+    fractions.
+
+    Exercises the full cascade (pyramid, NMS, regression, squaring, landmark
+    mapping) without real facenet-pytorch weights — used by the golden
+    cascade tests and the end-to-end embed benchmark (synthetic bright-square
+    faces make detection deterministic so the measured work matches the real
+    pipeline's)."""
+
+    def conv(kh, kw, cin, cout, w=None, b=None):
+        return {
+            "w": jnp.zeros((kh, kw, cin, cout)) if w is None else w,
+            "b": jnp.zeros((cout,)) if b is None else b,
+        }
+
+    def fc(cout, cin, b=None):
+        return {"w": jnp.zeros((cout, cin)), "b": jnp.zeros((cout,)) if b is None else b}
+
+    w1 = np.zeros((3, 3, 3, 10), np.float32)
+    w1[:, :, :, 0] = 1.0 / 27.0  # channel 0 = brightness average
+    w2 = np.zeros((3, 3, 10, 16), np.float32)
+    w2[:, :, 0, 0] = 1.0 / 9.0
+    w3 = np.zeros((3, 3, 16, 32), np.float32)
+    w3[:, :, 0, 0] = 1.0 / 9.0
+    wcls = np.zeros((1, 1, 32, 2), np.float32)
+    wcls[0, 0, 0, 1] = 50.0
+    pnet = {
+        "conv1": conv(3, 3, 3, 10, jnp.asarray(w1)), "prelu1": jnp.zeros((10,)),
+        "conv2": conv(3, 3, 10, 16, jnp.asarray(w2)), "prelu2": jnp.zeros((16,)),
+        "conv3": conv(3, 3, 16, 32, jnp.asarray(w3)), "prelu3": jnp.zeros((32,)),
+        "cls": conv(1, 1, 32, 2, jnp.asarray(wcls), jnp.asarray([0.0, -45.0])),
+        "reg": conv(1, 1, 32, 4),
+    }
+    rnet = {
+        "conv1": conv(3, 3, 3, 28), "prelu1": jnp.zeros((28,)),
+        "conv2": conv(3, 3, 28, 48), "prelu2": jnp.zeros((48,)),
+        "conv3": conv(2, 2, 48, 64), "prelu3": jnp.zeros((64,)),
+        "fc": fc(128, 64 * 3 * 3), "prelu4": jnp.zeros((128,)),
+        "cls": fc(2, 128, jnp.asarray([0.0, 5.0])),  # always pass
+        "reg": fc(4, 128),
+    }
+    lmk_bias = jnp.asarray([0.3, 0.7, 0.5, 0.3, 0.7, 0.3, 0.3, 0.5, 0.7, 0.7])
+    onet = {
+        "conv1": conv(3, 3, 3, 32), "prelu1": jnp.zeros((32,)),
+        "conv2": conv(3, 3, 32, 64), "prelu2": jnp.zeros((64,)),
+        "conv3": conv(3, 3, 64, 64), "prelu3": jnp.zeros((64,)),
+        "conv4": conv(2, 2, 64, 128), "prelu4": jnp.zeros((128,)),
+        "fc": fc(256, 128 * 3 * 3), "prelu5": jnp.zeros((256,)),
+        "cls": fc(2, 256, jnp.asarray([0.0, 5.0])),
+        "reg": fc(4, 256),
+        "lmk": fc(10, 256, lmk_bias),
+    }
+    return {"pnet": pnet, "rnet": rnet, "onet": onet}

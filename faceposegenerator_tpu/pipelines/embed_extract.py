@@ -89,6 +89,155 @@ def extract_folder_embeddings(
     return {"files_without_faces": missing}
 
 
+def make_crop_embed_fn(params, state, cfg=None, policy=None):
+    """Jitted (images [0,255] fp32 (B,H,W,3), boxes (B,4)) -> (B,512).
+
+    The TPU-first embed hot path: bbox crop (differentiable bilinear
+    `ops.image.crop_and_resize`, static shapes), ArcFace normalization and
+    the IResNet forward run as ONE device program — no host per-image
+    crop/resize (`extract_ArcFace_embeds.py:55-72` does all of that on
+    host before the batched forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.precision import DEFAULT_POLICY
+    from ..models import iresnet
+    from ..ops.image import crop_and_resize
+
+    cfg = cfg or iresnet.IResNetConfig()
+    policy = policy or DEFAULT_POLICY
+
+    @jax.jit
+    def crop_embed(imgs, boxes):
+        crops = crop_and_resize(imgs.astype(jnp.float32), boxes, 112)
+        x = (crops / 255.0 - 0.5) / 0.5
+        e, _ = iresnet.apply(params, state, x, cfg, policy=policy, train=False)
+        return e
+
+    return crop_embed
+
+
+def _decode_files_batch(paths: List[str], native_mod=None, expect_hw=None):
+    """Decode JPEG/PNG files to one (B,H,W,3) [0,255] fp32 stack. JPEGs ride
+    the native C++ thread-parallel decoder when available (decode_batch
+    outputs [-1,1]; rescaled here); PIL otherwise."""
+    from PIL import Image
+
+    if (
+        native_mod is not None
+        and expect_hw is not None
+        and expect_hw[0] == expect_hw[1]
+        and all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+    ):
+        payloads = [open(p, "rb").read() for p in paths]
+        out = np.empty((len(paths), expect_hw[0], expect_hw[1], 3), np.float32)
+        try:
+            native_mod.decode_batch(payloads, out, expect_hw[0], 8)
+            return out * 127.5 + 127.5
+        except ValueError:
+            pass  # odd payload → PIL below
+    imgs = [np.asarray(Image.open(p).convert("RGB"), np.float32) for p in paths]
+    return np.stack(imgs)
+
+
+def extract_embeddings_streaming(
+    images_root: str,
+    output_root: str,
+    crop_embed_fn: Callable,
+    detector,
+    batch_size: int = 64,
+    use_native: bool = True,
+) -> Dict[str, List[str]]:
+    """End-to-end streaming extraction: decode → batched MTCNN detect →
+    device crop+embed, with batch i+1's file decode overlapping batch i's
+    detect/embed (ThreadPoolExecutor pipeline). Batches are FIXED SIZE and
+    cross identity-folder boundaries — the device sees one program.
+
+    All images must share one resolution (the aligned-dataset layout the
+    reference extracts from). Writes per-image `.npy` embeds and
+    `files_without_faces.json` like `extract_folder_embeddings`.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    native_mod = None
+    if use_native:
+        from .. import native as native_pkg
+
+        native_mod = native_pkg.load()
+
+    os.makedirs(output_root, exist_ok=True)
+    entries: List[tuple] = []  # (id_folder, name, path)
+    for id_folder in sorted(os.listdir(images_root)):
+        src = os.path.join(images_root, id_folder)
+        if not os.path.isdir(src):
+            continue
+        os.makedirs(os.path.join(output_root, id_folder), exist_ok=True)
+        for name in list_images(src):
+            entries.append((id_folder, name, os.path.join(src, name)))
+
+    missing: List[str] = []
+    if not entries:
+        with open(os.path.join(output_root, "files_without_faces.json"), "w") as f:
+            json.dump(missing, f, indent=2)
+        return {"files_without_faces": missing}
+
+    from PIL import Image
+
+    with Image.open(entries[0][2]) as probe:
+        expect_hw = (probe.size[1], probe.size[0])
+
+    batches = [entries[i : i + batch_size] for i in range(0, len(entries), batch_size)]
+    pool = ThreadPoolExecutor(max_workers=1)  # decode pipelining (decode is
+    # internally thread-parallel via the native loader)
+
+    def decode(batch):
+        return _decode_files_batch([p for _, _, p in batch], native_mod, expect_hw)
+
+    try:
+        fut = pool.submit(decode, batches[0])
+        for bi, batch in enumerate(batches):
+            imgs = fut.result()
+            if len(batch) < batch_size:
+                # pad the tail batch: ONE compiled program for the whole run
+                pad = batch_size - len(batch)
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            if imgs.shape[1:3] != expect_hw:
+                raise ValueError(
+                    "extract_embeddings_streaming needs a uniform image size; "
+                    "use extract_folder_embeddings for mixed sizes"
+                )
+            if bi + 1 < len(batches):
+                fut = pool.submit(decode, batches[bi + 1])  # overlap decode
+            boxes_list = detector.detect_batch(imgs)[0] if detector is not None else [
+                np.array([[0, 0, imgs.shape[2], imgs.shape[1]]], np.float32)
+            ] * imgs.shape[0]
+            boxes = np.zeros((imgs.shape[0], 4), np.float32)
+            ok = np.zeros((imgs.shape[0],), bool)
+            for j, bl in enumerate(boxes_list):
+                if j >= len(batch) or bl is None or len(bl) == 0:
+                    if j < len(batch):
+                        missing.append(os.path.join(batch[j][0], batch[j][1]))
+                    boxes[j] = (0, 0, imgs.shape[2], imgs.shape[1])  # dummy
+                else:
+                    boxes[j] = bl[0][:4]
+                    ok[j] = True
+            embs = np.asarray(crop_embed_fn(imgs, boxes))
+            for j, (id_folder, name, _) in enumerate(batch):
+                if ok[j]:
+                    np.save(
+                        os.path.join(
+                            output_root, id_folder, os.path.splitext(name)[0] + ".npy"
+                        ),
+                        embs[j],
+                    )
+    finally:
+        pool.shutdown()
+
+    with open(os.path.join(output_root, "files_without_faces.json"), "w") as f:
+        json.dump(missing, f, indent=2)
+    return {"files_without_faces": missing}
+
+
 def make_arcface_embed_fn(params, state, cfg=None, policy=None):
     """Jitted frozen-ArcFace embed function
     (`prepare_locked_ArcFace_model`, `ArcFace_files/ArcFace_functions.py:27-36`)."""

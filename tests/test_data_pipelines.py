@@ -191,58 +191,10 @@ import jax.numpy as jnp
 
 
 def _golden_mtcnn_params():
-    """Hand-constructed weights that fire on a BRIGHT SQUARE: P-Net channel 0
-    averages brightness through the stack and the face logit is 50·feat−5
-    (prob≈1 on the square, ≈0.007 on black); R-Net/O-Net always pass with
-    zero regression and fixed landmark fractions. Pins the cascade logic
-    (pyramid, NMS, regression, squaring, landmark mapping) before real
-    facenet-pytorch weights are available."""
-
-    def conv(kh, kw, cin, cout, w=None, b=None):
-        return {
-            "w": jnp.zeros((kh, kw, cin, cout)) if w is None else w,
-            "b": jnp.zeros((cout,)) if b is None else b,
-        }
-
-    def fc(cout, cin, b=None):
-        return {"w": jnp.zeros((cout, cin)), "b": jnp.zeros((cout,)) if b is None else b}
-
-    w1 = np.zeros((3, 3, 3, 10), np.float32)
-    w1[:, :, :, 0] = 1.0 / 27.0  # channel 0 = brightness average
-    w2 = np.zeros((3, 3, 10, 16), np.float32)
-    w2[:, :, 0, 0] = 1.0 / 9.0
-    w3 = np.zeros((3, 3, 16, 32), np.float32)
-    w3[:, :, 0, 0] = 1.0 / 9.0
-    wcls = np.zeros((1, 1, 32, 2), np.float32)
-    wcls[0, 0, 0, 1] = 50.0  # with bias -45: fires only when the whole
-    # 12x12 receptive field is bright (feat≈1), not on partial overlaps
-    pnet = {
-        "conv1": conv(3, 3, 3, 10, jnp.asarray(w1)), "prelu1": jnp.zeros((10,)),
-        "conv2": conv(3, 3, 10, 16, jnp.asarray(w2)), "prelu2": jnp.zeros((16,)),
-        "conv3": conv(3, 3, 16, 32, jnp.asarray(w3)), "prelu3": jnp.zeros((32,)),
-        "cls": conv(1, 1, 32, 2, jnp.asarray(wcls), jnp.asarray([0.0, -45.0])),
-        "reg": conv(1, 1, 32, 4),
-    }
-    rnet = {
-        "conv1": conv(3, 3, 3, 28), "prelu1": jnp.zeros((28,)),
-        "conv2": conv(3, 3, 28, 48), "prelu2": jnp.zeros((48,)),
-        "conv3": conv(2, 2, 48, 64), "prelu3": jnp.zeros((64,)),
-        "fc": fc(128, 64 * 3 * 3), "prelu4": jnp.zeros((128,)),
-        "cls": fc(2, 128, jnp.asarray([0.0, 5.0])),  # always pass
-        "reg": fc(4, 128),
-    }
-    lmk_bias = jnp.asarray([0.3, 0.7, 0.5, 0.3, 0.7, 0.3, 0.3, 0.5, 0.7, 0.7])
-    onet = {
-        "conv1": conv(3, 3, 3, 32), "prelu1": jnp.zeros((32,)),
-        "conv2": conv(3, 3, 32, 64), "prelu2": jnp.zeros((64,)),
-        "conv3": conv(3, 3, 64, 64), "prelu3": jnp.zeros((64,)),
-        "conv4": conv(2, 2, 64, 128), "prelu4": jnp.zeros((128,)),
-        "fc": fc(256, 128 * 3 * 3), "prelu5": jnp.zeros((256,)),
-        "cls": fc(2, 256, jnp.asarray([0.0, 5.0])),
-        "reg": fc(4, 256),
-        "lmk": fc(10, 256, lmk_bias),
-    }
-    return {"pnet": pnet, "rnet": rnet, "onet": onet}
+    """Hand-constructed bright-square cascade weights — now shipped in the
+    package (shared with the end-to-end embed bench); the golden tests below
+    still pin their behavior."""
+    return mtcnn.brightness_cascade_params()
 
 
 def test_mtcnn_cascade_golden_bright_square():
@@ -291,3 +243,100 @@ def test_mtcnn_detect_batch_matches_single():
             np.testing.assert_allclose(bb, sb, rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(bp, sp, rtol=1e-5)
             np.testing.assert_allclose(bl, sl, rtol=1e-5, atol=1e-5)
+
+
+def test_extract_embeddings_streaming_matches_folder_path(tmp_path):
+    """The streaming e2e extractor (decode → batched detect → device
+    crop+embed, fixed-size cross-folder batches) must agree with the
+    per-folder reference path: same missing-face set, near-identical
+    embeddings (device bilinear crop vs host cv2 crop)."""
+    from PIL import Image
+
+    from faceposegenerator_tpu.core.precision import PARITY_POLICY
+    from faceposegenerator_tpu.models import iresnet
+    from faceposegenerator_tpu.pipelines.embed_extract import (
+        extract_embeddings_streaming,
+        make_arcface_embed_fn,
+        make_crop_embed_fn,
+    )
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "images"
+    n_per, res = 3, 96
+    for ident in range(3):
+        d = src / f"{ident}"
+        d.mkdir(parents=True)
+        for i in range(n_per):
+            img = np.full((res, res, 3), 20, np.uint8)
+            if not (ident == 2 and i == 2):  # one face-less image
+                s = 48
+                y, x = rng.integers(4, res - s - 4, 2)
+                img[y : y + s, x : x + s] = 255
+            Image.fromarray(img).save(d / f"{i}.png")
+
+    detector = mtcnn.MTCNN(params=mtcnn.brightness_cascade_params())
+    cfg = iresnet.config_for("r18", num_features=64)
+    params, state = iresnet.init(jax.random.key(0), cfg)
+    embed_fn = make_arcface_embed_fn(params, state, cfg, PARITY_POLICY)
+    crop_embed = make_crop_embed_fn(params, state, cfg, PARITY_POLICY)
+
+    from faceposegenerator_tpu.pipelines.embed_extract import extract_folder_embeddings
+
+    out_a = tmp_path / "ref"
+    out_b = tmp_path / "stream"
+    ra = extract_folder_embeddings(str(src), str(out_a), embed_fn, detector=detector)
+    rb = extract_embeddings_streaming(
+        str(src), str(out_b), crop_embed, detector, batch_size=4, use_native=False
+    )
+    assert ra["files_without_faces"] == rb["files_without_faces"] == ["2/2.png"]
+
+    import os as _os
+
+    for ident in ("0", "1", "2"):
+        files_a = sorted(_os.listdir(out_a / ident))
+        files_b = sorted(_os.listdir(out_b / ident))
+        assert files_a == files_b
+        for f in files_a:
+            ea = np.load(out_a / ident / f)
+            eb = np.load(out_b / ident / f)
+            # device bilinear box-sampling vs cv2 integer-crop+resize differ
+            # at box edges; random-weight r18 amplifies that — the real
+            # contract is "same faces found, same embedding up to crop
+            # semantics" (cosine ≈ 0.97+ here)
+            cos = float(ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb)))
+            assert cos > 0.95, (ident, f, cos)
+
+
+def test_extract_streaming_pads_tail_batch_one_program(tmp_path):
+    """5 images with batch_size=4: the tail batch is padded, every real
+    image still gets exactly one embedding, padded slots are discarded."""
+    from PIL import Image
+
+    from faceposegenerator_tpu.pipelines.embed_extract import (
+        extract_embeddings_streaming,
+    )
+
+    src = tmp_path / "images" / "0"
+    src.mkdir(parents=True)
+    for i in range(5):
+        img = np.full((64, 64, 3), 20, np.uint8)
+        img[8:56, 8:56] = 255
+        Image.fromarray(img).save(src / f"{i}.png")
+
+    detector = mtcnn.MTCNN(params=mtcnn.brightness_cascade_params())
+    calls = []
+
+    def fake_crop_embed(imgs, boxes):
+        calls.append(np.asarray(imgs).shape)
+        return np.ones((imgs.shape[0], 8), np.float32)
+
+    out = tmp_path / "out"
+    r = extract_embeddings_streaming(
+        str(tmp_path / "images"), str(out), fake_crop_embed, detector,
+        batch_size=4, use_native=False,
+    )
+    assert r["files_without_faces"] == []
+    assert sorted(s[0] for s in calls) == [4, 4]  # both batches padded/full
+    import os as _os
+
+    assert sorted(_os.listdir(out / "0")) == [f"{i}.npy" for i in range(5)]
