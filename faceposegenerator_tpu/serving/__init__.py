@@ -1,5 +1,5 @@
 """TPU-native serving: fixed-shape request batching + LoRA hot-swap."""
 
-from .engine import GenerationRequest, GenerationResult, SamplerServer
+from .engine import GenerationRequest, GenerationResult, QueueFull, SamplerServer
 
-__all__ = ["GenerationRequest", "GenerationResult", "SamplerServer"]
+__all__ = ["GenerationRequest", "GenerationResult", "QueueFull", "SamplerServer"]

@@ -19,7 +19,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .engine import GenerationRequest, SamplerServer
+from .engine import GenerationRequest, QueueFull, SamplerServer
 
 
 def _png_b64(image) -> str:
@@ -71,10 +71,30 @@ def make_handler(server: SamplerServer):
                             lora_id=req.get("lora_id"),
                         )
                     )
-                except KeyError as e:  # engine-side: unknown lora_id
-                    self._reply(400, {"error": str(e.args[0])})
+                except QueueFull as e:  # bounded queue: shed load
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(429)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
-                res = fut.result()
+                except (KeyError, ValueError) as e:  # unknown lora_id / bad seed
+                    self._reply(400, {"error": str(e.args[0]) if e.args else str(e)})
+                    return
+                except RuntimeError as e:  # submit after shutdown
+                    self._reply(503, {"error": str(e)})
+                    return
+                # bounded wait: a dead worker or an expired deadline must not
+                # leave the handler thread (and the client) blocked forever
+                timeout = server.request_timeout_s
+                timeout = (timeout + 60.0) if timeout is not None else 600.0
+                try:
+                    res = fut.result(timeout=timeout)
+                except TimeoutError as e:
+                    self._reply(504, {"error": f"request timed out: {e}"})
+                    return
                 out = {
                     "seed": res.seed, "lora_id": res.lora_id,
                     "queue_s": round(res.queue_s, 4),

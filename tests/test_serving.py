@@ -184,3 +184,202 @@ def test_collect_batch_preserves_arrival_order(server):
         # ... and everything else keeps arrival order
         assert [t[0].prompt for t in eng._pending] == ["p0", "p2", "p4"]
         eng._pending.clear()
+
+
+# -- backpressure / failure hardening (VERDICT r2 #6, ADVICE r2) --------------
+
+
+def _slow_server(pipe, **kw):
+    """Server whose device work is a patched sleep — lets the tests control
+    queue occupancy without real sampling."""
+    import time as _time
+
+    srv = SamplerServer(pipe, batch_size=1, max_wait_s=0.0,
+                        num_inference_steps=2, height=64, width=64, **kw)
+
+    def fake_execute(batch):
+        _time.sleep(0.3)
+        for i, (req, fut, t_sub) in enumerate(batch):
+            if not fut.done():
+                fut.set_result(
+                    np.zeros((64, 64, 3), np.uint8)
+                )
+    srv._execute = fake_execute
+    return srv
+
+
+def test_bounded_queue_rejects_with_queuefull(server):
+    """A sustained overload must shed load (429 at the HTTP layer), not grow
+    the pending deque without limit."""
+    import time
+    from faceposegenerator_tpu.serving import QueueFull
+
+    srv = _slow_server(server.pipe, max_queue=2)
+    try:
+        srv.submit(GenerationRequest(prompt="busy", seed=0))
+        time.sleep(0.1)  # let the worker take it (now sleeping in execute)
+        srv.submit(GenerationRequest(prompt="q1", seed=1))
+        srv.submit(GenerationRequest(prompt="q2", seed=2))
+        with pytest.raises(QueueFull):
+            srv.submit(GenerationRequest(prompt="q3", seed=3))
+    finally:
+        srv.shutdown(wait=False)
+
+
+def test_request_deadline_fails_future(server):
+    """A request that sits in queue past request_timeout_s must fail its
+    Future with TimeoutError instead of waiting forever."""
+    import time
+
+    srv = _slow_server(server.pipe, request_timeout_s=0.05)
+    try:
+        srv.submit(GenerationRequest(prompt="busy", seed=0))
+        time.sleep(0.1)
+        fut = srv.submit(GenerationRequest(prompt="late", seed=1))
+        with pytest.raises(TimeoutError):
+            fut.result(timeout=5)
+    finally:
+        srv.shutdown(wait=False)
+
+
+def test_submit_after_shutdown_rejected(server):
+    srv = _slow_server(server.pipe)
+    srv.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        srv.submit(GenerationRequest(prompt="x", seed=0))
+
+
+def test_shutdown_fails_pending_futures(server):
+    """Requests still queued at shutdown must not leave callers blocked."""
+    import time
+
+    srv = _slow_server(server.pipe)
+    srv.submit(GenerationRequest(prompt="busy", seed=0))
+    time.sleep(0.1)
+    fut = srv.submit(GenerationRequest(prompt="stranded", seed=1))
+    srv.shutdown(wait=False)
+    with pytest.raises(RuntimeError, match="shut down"):
+        fut.result(timeout=5)
+
+
+def test_seed_out_of_range_rejected(server):
+    """uint32 cast would silently alias distinct client seeds (ADVICE r2)."""
+    for bad in (-1, 2**32):
+        with pytest.raises(ValueError, match="seed"):
+            server.submit(GenerationRequest(prompt="x", seed=bad))
+    # boundary values are fine
+    server.generate([GenerationRequest(prompt="x", seed=2**32 - 1)])
+
+
+def test_collect_batch_failure_fails_pending_not_hangs(server):
+    """If the worker loop raises OUTSIDE _execute, pending futures must be
+    failed (not stranded) and the worker must keep serving afterwards."""
+    import threading
+    import time
+
+    srv = SamplerServer(server.pipe, batch_size=1, max_wait_s=0.0,
+                        num_inference_steps=2, height=64, width=64)
+    release = threading.Event()
+
+    def fake_execute(batch):
+        release.wait(timeout=10)
+        for req, fut, t_sub in batch:
+            if not fut.done():
+                fut.set_result(np.zeros((64, 64, 3), np.uint8))
+
+    srv._execute = fake_execute
+    try:
+        # park the worker inside _execute so the patched _collect_batch is
+        # guaranteed to be the call that sees the victim request
+        blocker = srv.submit(GenerationRequest(prompt="blocker", seed=0))
+        time.sleep(0.2)
+        boom = {"n": 0}
+        orig = srv._collect_batch
+
+        def bad_collect():
+            if boom["n"] == 0 and srv._pending:
+                boom["n"] += 1
+                raise RuntimeError("collector exploded")
+            return orig()
+
+        srv._collect_batch = bad_collect
+        victim = srv.submit(GenerationRequest(prompt="x", seed=1))
+        release.set()
+        assert blocker.result(timeout=5) is not None
+        with pytest.raises(RuntimeError, match="exploded"):
+            victim.result(timeout=5)
+        # worker survived and serves the next request
+        fut2 = srv.submit(GenerationRequest(prompt="y", seed=2))
+        assert fut2.result(timeout=5) is not None
+    finally:
+        srv.shutdown(wait=False)
+
+
+def test_http_429_and_400_seed(server):
+    """HTTP layer maps QueueFull → 429 (+Retry-After) and bad seed → 400."""
+    import time
+    from faceposegenerator_tpu.serving.http_api import start_http_background
+
+    srv = _slow_server(server.pipe, max_queue=1)
+    httpd, port = start_http_background(srv, port=0)
+    try:
+        def post(body):
+            return urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(body).encode(), method="POST",
+            )
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(post({"prompt": "x", "seed": -5}))
+        assert ei.value.code == 400
+
+        srv.submit(GenerationRequest(prompt="busy", seed=0))
+        time.sleep(0.1)
+        srv.submit(GenerationRequest(prompt="fill", seed=1))  # queue now full
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(post({"prompt": "over", "seed": 2, "output": "none"}))
+        assert ei.value.code == 429
+        assert ei.value.headers.get("Retry-After") is not None
+    finally:
+        httpd.shutdown()
+        srv.shutdown(wait=False)
+
+
+def test_mesh_dp_serving_matches_single_device(server):
+    """DATA-PARALLEL serving (VERDICT r2 #4a): the same requests through a
+    mesh-sharded server (batch over "data", params/LoRAs replicated) must
+    reproduce the single-device server's images exactly — per-request
+    determinism is seed-derived noise, independent of placement."""
+    from faceposegenerator_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(devices=jax.devices()[:4])  # 4×1 data×model
+    srv = SamplerServer(
+        server.pipe, batch_size=4, max_wait_s=0.02, num_inference_steps=3,
+        height=64, width=64, mesh=mesh,
+    )
+    try:
+        # register the SAME adapter tree as the single-device fixture server
+        srv.register_lora("idA", server._loras["idA"][0])
+        reqs = [
+            GenerationRequest(prompt=f"mesh {i}", seed=100 + i,
+                              lora_id="idA" if i < 2 else None)
+            for i in range(4)
+        ]
+        out_mesh = srv.generate(reqs)
+        out_single = server.generate(reqs)
+        for m, s in zip(out_mesh, out_single):
+            # across placements the program differs (sharded vs not), so
+            # bf16 reduction/fusion order shifts a few uint8 codes — the
+            # cross-placement contract is "same image up to quantization
+            # jitter"; within a placement it is exact (below)
+            diff = np.abs(m.image.astype(int) - s.image.astype(int))
+            assert diff.max() <= 8 and diff.mean() < 1.5, (diff.max(), diff.mean())
+        again = srv.generate(reqs)
+        for m, a in zip(out_mesh, again):
+            np.testing.assert_array_equal(m.image, a.image)  # exact in-placement
+        # batch_size must divide the data axis
+        with pytest.raises(ValueError, match="data axis"):
+            SamplerServer(server.pipe, batch_size=3, mesh=mesh,
+                          num_inference_steps=3, height=64, width=64)
+    finally:
+        srv.shutdown(wait=False)
