@@ -83,9 +83,12 @@ def build_prompts(
 
 
 def save_image_grid(images: np.ndarray, path: str, per_row: Optional[int] = None):
-    """Tile (N, H, W, 3) images ([0,1] float or uint8) into one PNG grid."""
-    from PIL import Image
+    """Tile (N, H, W, 3) images ([0,1] float or uint8) into one PNG grid.
 
+    Rides the native stored-deflate PNG writer when available — a 7-image
+    512² grid through PIL's zlib encode costs ~1.4 s on the TPU VM's single
+    host CPU (measured as the run_sweep infra gap, perf/r3_sweep_matrix
+    gen_only_8 vs raw_sampler_bs8); the native writer is ~milliseconds."""
     images = np.asarray(images)
     if images.dtype != np.uint8:
         images = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
@@ -97,6 +100,20 @@ def save_image_grid(images: np.ndarray, path: str, per_row: Optional[int] = None
         r, c = divmod(i, per_row)
         grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = img
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        from .. import native as _native_pkg
+
+        mod = _native_pkg.load()
+        if mod is not None and hasattr(mod, "write_png_batch"):
+            mod.write_png_batch(
+                np.ascontiguousarray(grid[None]), grid.shape[0], grid.shape[1],
+                [path], 1,
+            )
+            return
+    except Exception:  # pragma: no cover
+        pass
+    from PIL import Image
+
     Image.fromarray(grid).save(path)
 
 
