@@ -146,6 +146,23 @@ def _dinov2_encoder(weights_path: Optional[str] = None, arch: str = "vitl14", **
         x = (imgs / 255.0 - imagenet_mean) / imagenet_std
         return np.asarray(fwd(x))
 
+    def preprocess(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((224, 224), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        return (imgs / 255.0 - imagenet_mean) / imagenet_std
+
+    # GradCAM support (`--heatmaps`): the tap-capable encode + the uint8 →
+    # encoder-input preprocessing, attached for evaluation.heatmaps
+    from .heatmaps import make_dinov2_gradcam_encoder
+
+    encode.gradcam_encode = make_dinov2_gradcam_encoder(params, cfg)
+    encode.gradcam_preprocess = preprocess
     return encode
 
 
@@ -279,6 +296,35 @@ def compute_scores(
     return scores
 
 
+def _write_gradcam_grid(gen_path, encoder, reps_real, reps_gen, out_png,
+                        nsample, seed, count):
+    """Reference `--heatmaps` behavior (`__main__.py:358-364` →
+    `heatmaps/heatmaps.py visualize_heatmaps`): sample images from the
+    generated set, compute leave-one-out FD-sensitivity GradCAMs at the
+    encoder's target layer, write one overlay grid PNG."""
+    from PIL import Image
+
+    from ..pipelines.sweep import save_image_grid
+    from .heatmaps import GradCAM, overlay_heatmap
+
+    paths = list_dataset_images(gen_path)
+    if len(paths) > nsample + 2000:  # mirror compute_representations' subsample
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(len(paths), nsample, replace=False))
+        paths = [paths[i] for i in idx]
+    rnd = np.random.RandomState(seed)
+    k = min(count, len(paths))
+    sel = rnd.choice(np.arange(len(paths)), size=k, replace=False)
+    cam = GradCAM(encoder.gradcam_encode, reps_real, reps_gen)
+    tiles = []
+    for i in sel:
+        u8 = np.asarray(Image.open(paths[int(i)]).convert("RGB"), np.uint8)
+        inp = encoder.gradcam_preprocess(u8[None])
+        heat, _ = cam.get_map(inp, int(i))
+        tiles.append(overlay_heatmap(u8, heat))
+    save_image_grid(np.stack(tiles), out_png, per_row=max(1, int(round(k ** 0.5))))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="dgm-eval equivalent")
     ap.add_argument("path", nargs="+", help="real dir followed by generated dir(s)")
@@ -295,6 +341,12 @@ def main(argv=None):
         help="checkpoint for the chosen encoder (dinov2/arcface; .safetensors/.pth)",
     )
     ap.add_argument("--test_path", default=None, help="held-out set for ct/fls")
+    ap.add_argument(
+        "--heatmaps", action="store_true",
+        help="write FD-sensitivity GradCAM overlay grids (reference "
+             "`--heatmaps`; supported for inception/dinov2 encoders)",
+    )
+    ap.add_argument("--heatmaps_count", type=int, default=16)
     args = ap.parse_args(argv)
 
     weights = args.encoder_weights or args.arcface_weights
@@ -326,6 +378,19 @@ def main(argv=None):
         with open(os.path.join(args.output_dir, f"scores_{name}.json"), "w") as f:
             json.dump(scores, f, indent=2)
         print(json.dumps({name: scores}))
+        if args.heatmaps:
+            if not hasattr(encoder, "gradcam_encode"):
+                print(json.dumps({"heatmaps": f"unsupported for encoder {args.model!r}"}))
+            else:
+                out_png = os.path.join(
+                    args.output_dir, f"heatmaps_{args.model}_{name}_{args.seed}.png"
+                )
+                _write_gradcam_grid(
+                    gen, encoder, reps_real, reps_gen, out_png,
+                    nsample=args.nsample, seed=args.seed,
+                    count=args.heatmaps_count,
+                )
+                print(json.dumps({"heatmaps": out_png}))
     with open(os.path.join(args.output_dir, "aggregate.json"), "w") as f:
         json.dump(all_scores, f, indent=2)
     return all_scores
@@ -365,6 +430,10 @@ def _inception_encoder(weights_path: Optional[str] = None, **kw):
         x = np.asarray(batch, np.float32) / 255.0
         return np.asarray(fwd(x))
 
+    from .heatmaps import make_inception_gradcam_encoder
+
+    encode.gradcam_encode = make_inception_gradcam_encoder(params)
+    encode.gradcam_preprocess = lambda batch: np.asarray(batch, np.float32) / 255.0
     return encode
 
 

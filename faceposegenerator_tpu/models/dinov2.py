@@ -126,9 +126,15 @@ def apply(
     images: jax.Array,
     cfg: DINOv2Config = VITL14_CONFIG,
     policy: Policy = DEFAULT_POLICY,
+    tap=None,
 ) -> jax.Array:
     """images: (B, H, W, 3) already imagenet-normalized, H=W divisible by
-    patch_size. Returns the final-LN hidden states (B, 1+N, D)."""
+    patch_size. Returns the final-LN hidden states (B, 1+N, D).
+
+    `tap`: optional callable applied to the LAST layer's norm1 output (the
+    reference GradCAM target 'blocks.23.norm1',
+    `dgm_eval/heatmaps/gradcam.py` MODEL_TO_LAYER_NAME_MAP) — functional
+    replacement for torch forward/backward hooks."""
     x = images.astype(policy.compute_dtype)
     b, h, w, _ = x.shape
     grid = h // cfg.patch_size
@@ -148,8 +154,11 @@ def apply(
 
     nh, hd = cfg.num_heads, cfg.head_dim
     s = x.shape[1]
-    for lp in params["layers"]:
+    n_layers = len(params["layers"])
+    for li, lp in enumerate(params["layers"]):
         hn = layer_norm(x, lp["norm1"]["g"], lp["norm1"]["b"], eps=cfg.layer_norm_eps)
+        if tap is not None and li == n_layers - 1:
+            hn = tap(hn)
         q = lora_dense(hn, lp["q"]["w"], lp["q"]["b"]).reshape(b, s, nh, hd)
         k = lora_dense(hn, lp["k"]["w"], lp["k"]["b"]).reshape(b, s, nh, hd)
         v = lora_dense(hn, lp["v"]["w"], lp["v"]["b"]).reshape(b, s, nh, hd)
@@ -166,7 +175,7 @@ def apply(
     return layer_norm(x, params["final_norm"]["g"], params["final_norm"]["b"], eps=cfg.layer_norm_eps)
 
 
-def cls_feature(params, images, cfg: DINOv2Config = VITL14_CONFIG, policy: Policy = DEFAULT_POLICY):
+def cls_feature(params, images, cfg: DINOv2Config = VITL14_CONFIG, policy: Policy = DEFAULT_POLICY, tap=None):
     """The dgm-eval representation: final-LN CLS token (hub `forward` ≡
     transformers `pooler_output`)."""
-    return apply(params, images, cfg, policy)[:, 0].astype(jnp.float32)
+    return apply(params, images, cfg, policy, tap=tap)[:, 0].astype(jnp.float32)

@@ -129,8 +129,13 @@ _STEM = [
 ]
 
 
-def apply(params: Dict, images: jax.Array, resize_input: bool = True, normalize_input: bool = True) -> jax.Array:
-    """images: (B, H, W, 3) in [0, 1]. Returns 2048-d pooled features."""
+def apply(params: Dict, images: jax.Array, resize_input: bool = True, normalize_input: bool = True, tap=None) -> jax.Array:
+    """images: (B, H, W, 3) in [0, 1]. Returns 2048-d pooled features.
+
+    `tap`: optional callable applied to the Mixed_7c output (the reference
+    GradCAM target layer 'blocks.3.2', `dgm_eval/heatmaps/gradcam.py:
+    MODEL_TO_LAYER_NAME_MAP`) — the functional replacement for torch
+    forward/backward hooks: heatmap code passes a capture+perturb closure."""
     x = images.astype(jnp.float32)
     if resize_input and x.shape[1:3] != (299, 299):
         x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear", antialias=False)
@@ -152,6 +157,8 @@ def apply(params: Dict, images: jax.Array, resize_input: bool = True, normalize_
     x = _inception_d(x, params["Mixed_7a"])
     x = _inception_e(x, params["Mixed_7b"], pool="avg")
     x = _inception_e(x, params["Mixed_7c"], pool="max")
+    if tap is not None:
+        x = tap(x)
     return jnp.mean(x, axis=(1, 2))  # global average pool → (B, 2048)
 
 

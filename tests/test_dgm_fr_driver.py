@@ -96,3 +96,45 @@ def test_fr_driver_train_and_test(tmp_path):
     assert os.path.exists(os.path.join(out, "test_results.json"))
     saved = json.load(open(os.path.join(out, "test_results.json")))
     assert saved["lfw"]["accuracy"] == pytest.approx(report["lfw"]["accuracy"])
+
+
+def test_dgm_heatmaps_grid(tmp_path):
+    """--heatmaps mechanism: _write_gradcam_grid samples generated images,
+    computes leave-one-out FD GradCAMs through a tap-capable encoder, and
+    writes one overlay grid PNG (reference `__main__.py:358-364`)."""
+    import jax
+    from PIL import Image
+
+    from faceposegenerator_tpu.evaluation.dgm import _write_gradcam_grid
+    from faceposegenerator_tpu.evaluation.heatmaps import make_dinov2_gradcam_encoder
+    from faceposegenerator_tpu.models import dinov2
+
+    rng = np.random.default_rng(0)
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (56, 56, 3), np.uint8)).save(
+            gen / f"{i}.png"
+        )
+
+    cfg = dinov2.DINOv2Config(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        patch_size=14,
+    )
+    params = dinov2.init(jax.random.key(0), cfg)
+
+    class Enc:
+        gradcam_encode = staticmethod(make_dinov2_gradcam_encoder(params, cfg))
+
+        @staticmethod
+        def gradcam_preprocess(batch):
+            return np.asarray(batch, np.float32) / 255.0  # already 56²
+
+    reps_real = rng.standard_normal((30, 32))
+    reps_gen = rng.standard_normal((6, 32))
+    out = tmp_path / "heat.png"
+    _write_gradcam_grid(str(gen), Enc, reps_real, reps_gen, str(out),
+                        nsample=100, seed=0, count=4)
+    assert out.exists()
+    grid = np.asarray(Image.open(out))
+    assert grid.shape[2] == 3 and grid.size > 0

@@ -89,3 +89,112 @@ def test_cost_analysis_matmul_flops():
     if got is None:
         pytest.skip("backend reports no cost analysis")
     assert got == pytest.approx(2 * 128 * 256 * 512, rel=0.1)
+
+
+def test_w2_gaussian_loss_matches_reference_formula():
+    """Our eigvalsh-on-similar-symmetric-matrix form must equal the
+    reference's Σ√|eig(C_g·C_r)| trace term (`gradcam.py:153-161`)."""
+    from faceposegenerator_tpu.evaluation.heatmaps import w2_gaussian_loss
+
+    rng = np.random.default_rng(0)
+    d = 6
+    a = rng.standard_normal((40, d))
+    b = rng.standard_normal((40, d)) * 1.5 + 0.3
+    mu_r, cov_r = a.mean(0), np.cov(a, rowvar=False)
+    mu_g, cov_g = b.mean(0), np.cov(b, rowvar=False)
+
+    # reference formulation (numpy non-symmetric eig)
+    ev = np.real(np.linalg.eigvals(cov_g @ cov_r))
+    ref = (
+        np.sum((mu_r - mu_g) ** 2)
+        + np.trace(cov_r) + np.trace(cov_g)
+        - 2 * np.sum(np.sqrt(np.abs(ev) + 1e-12))
+    )
+
+    w, v = np.linalg.eigh(cov_r)
+    sqrt = (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+    got = w2_gaussian_loss(
+        jnp.asarray(mu_r, jnp.float32), jnp.asarray(sqrt, jnp.float32),
+        jnp.asarray(np.trace(cov_r), jnp.float32),
+        jnp.asarray(mu_g, jnp.float32), jnp.asarray(cov_g, jnp.float32),
+    )
+    np.testing.assert_allclose(float(got), ref, rtol=1e-4)
+
+
+def test_gradcam_eps_tap_equals_split_gradient():
+    """The zero-perturbation tap trick must produce the true dL/dA of the
+    layer activation — oracle: a hand-split toy encoder."""
+    from faceposegenerator_tpu.evaluation.heatmaps import GradCAM
+
+    rng = np.random.default_rng(1)
+    w1 = jnp.asarray(rng.standard_normal((3, 5)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((4 * 4 * 5, 6)), jnp.float32)
+
+    def encode_with_tap(images, tap):
+        a = jnp.einsum("bhwc,cd->bhwd", images, w1)  # (B, 4, 4, 5)
+        a = tap(a)
+        return jnp.tanh(a).reshape(a.shape[0], -1) @ w2  # (B, 6)
+
+    reps_real = rng.standard_normal((50, 6))
+    reps_gen = rng.standard_normal((30, 6))
+    cam = GradCAM(encode_with_tap, reps_real, reps_gen)
+    img = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+
+    heat, delta = cam.get_map(img, idx=3)
+    assert heat.shape == (4, 4) and np.isfinite(delta)
+    assert heat.min() >= 0 and heat.max() <= 1 + 1e-6
+
+    # oracle: split the encoder by hand and differentiate the same loss
+    loo = np.delete(np.asarray(reps_gen, np.float64), 3, axis=0)
+    mean_gen = jnp.asarray(loo.mean(0), jnp.float32)
+    cov_gen = jnp.asarray(np.cov(loo, rowvar=False), jnp.float32)
+    n = float(len(reps_gen))
+    a0 = jnp.einsum("bhwc,cd->bhwd", jnp.asarray(img), w1)
+
+    def loss_of_act(a):
+        feats = jnp.tanh(a).reshape(a.shape[0], -1) @ w2
+        return cam._loss_from_feats(feats.astype(jnp.float32), mean_gen, cov_gen, n)
+
+    g_true = np.asarray(jax.grad(loss_of_act)(a0))
+    weights = np.mean(g_true**2, axis=(1, 2), keepdims=True)
+    heat_true = np.sum(weights * np.asarray(a0), axis=-1)[0]
+    heat_true = (heat_true - heat_true.min()) / max(np.ptp(heat_true), 1e-12)
+    np.testing.assert_allclose(heat, heat_true, atol=1e-4)
+
+
+def test_gradcam_dinov2_and_inception_taps():
+    """End-to-end GradCAM through the real encoders (tiny configs where
+    possible): activation capture at the reference target layers works and
+    yields a normalized spatial map."""
+    from faceposegenerator_tpu.evaluation.heatmaps import (
+        GradCAM,
+        make_dinov2_gradcam_encoder,
+        make_inception_gradcam_encoder,
+        visualize_heatmaps,
+    )
+    from faceposegenerator_tpu.models import dinov2
+
+    rng = np.random.default_rng(2)
+    cfg = dinov2.DINOv2Config(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        patch_size=14,
+    )
+    params = dinov2.init(jax.random.key(0), cfg)
+    enc = make_dinov2_gradcam_encoder(params, cfg)
+    d = 32
+    reps_real = rng.standard_normal((40, d))
+    reps_gen = rng.standard_normal((20, d))
+    cam = GradCAM(enc, reps_real, reps_gen)
+    img = rng.standard_normal((1, 56, 56, 3)).astype(np.float32)  # 4x4 grid
+    heat, delta = cam.get_map(img, idx=0)
+    assert heat.shape == (4, 4) and np.isfinite(delta)
+
+    # grid writer end-to-end (uses the dinov2 encoder for speed)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "heat.png")
+        imgs = rng.uniform(0, 1, (6, 56, 56, 3)).astype(np.float32)
+        visualize_heatmaps(imgs, reps_real, reps_gen, enc, out, per_row=2)
+        assert os.path.exists(out)
