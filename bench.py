@@ -472,7 +472,11 @@ def main():
     from faceposegenerator_tpu.models import clip_text, unet2d, vae
 
     kind = os.environ.get("BENCH_KIND", "sample")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # bs8 measured 2.005 img/s vs bs16's 1.956 on v5e (5-repeat confirm,
+    # perf/r3_gnconv_bs.jsonl) — the CFG doubling means bs8 already runs the
+    # UNet at batch 16; the smaller live set fits HBM better. bs8 is the
+    # single-chip throughput optimum AND the latency winner (4.0 s batch).
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     attn = os.environ.get("BENCH_ATTN", "auto")
