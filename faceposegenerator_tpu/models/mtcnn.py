@@ -296,18 +296,31 @@ def _stage_apply(net_params, imgs, idx, boxes, size, which):
     return rnet_apply(net_params, x) if which == "rnet" else onet_apply(net_params, x)
 
 
+_STAGE_CHUNK = 2048  # per-dispatch candidate cap: a single vmapped program
+# over 16k candidates × full-image gathers crashed the TPU compiler
+# (perf/r3_embed_retry2.err); ≤2048 compiles and runs fine, and the chunk
+# loop preserves exact cascade semantics for pathological candidate counts
+
+
 def _run_stage_device(net_params, which, imgs_dev, idx, boxes, size):
     n = len(idx)
-    m = 128
-    while m < n:
-        m *= 2
-    idx_p = np.zeros(m, np.int32)
-    idx_p[:n] = idx
-    boxes_p = np.zeros((m, 4), np.float32)
-    boxes_p[:n] = boxes[:, :4]
-    out = _stage_apply(net_params, imgs_dev, jnp.asarray(idx_p), jnp.asarray(boxes_p),
-                       size, which)
-    return tuple(np.asarray(o)[:n] for o in out)
+    outs = []
+    for start in range(0, n, _STAGE_CHUNK):
+        cidx = idx[start : start + _STAGE_CHUNK]
+        cboxes = boxes[start : start + _STAGE_CHUNK, :4]
+        cn = len(cidx)
+        m = 128
+        while m < cn:
+            m *= 2
+        idx_p = np.zeros(m, np.int32)
+        idx_p[:cn] = cidx
+        boxes_p = np.zeros((m, 4), np.float32)
+        boxes_p[:cn] = cboxes
+        out = _stage_apply(
+            net_params, imgs_dev, jnp.asarray(idx_p), jnp.asarray(boxes_p), size, which
+        )
+        outs.append(tuple(np.asarray(o)[:cn] for o in out))
+    return tuple(np.concatenate([o[k] for o in outs]) for k in range(len(outs[0])))
 
 
 class MTCNN:
