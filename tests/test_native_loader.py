@@ -191,3 +191,24 @@ def test_batches_fall_back_to_pil_for_non_jpeg_payloads(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate([b["labels"] for b in batches]), [0, 1, 2, 3]
     )
+
+
+@pytest.mark.skipif(
+    not native.available(), reason=f"native loader unavailable: {native.build_error()}"
+)
+def test_write_png_batch_lossless_roundtrip(tmp_path):
+    """The stored-deflate PNG writer must emit spec-valid PNGs that decode
+    back to the EXACT input pixels (lossless), including non-square."""
+    from PIL import Image
+
+    mod = native.load()
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, 40, 56, 3), np.uint8)
+    paths = [str(tmp_path / f"{i}.png") for i in range(3)]
+    mod.write_png_batch(np.ascontiguousarray(imgs), 40, 56, paths, 2)
+    for i, p in enumerate(paths):
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, imgs[i])
+    # shape mismatch rejected
+    with pytest.raises(ValueError):
+        mod.write_png_batch(np.ascontiguousarray(imgs), 41, 56, paths, 2)
