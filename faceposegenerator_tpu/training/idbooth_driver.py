@@ -120,8 +120,19 @@ def run_identity(
     class_ids: Optional[np.ndarray] = None,
     logger=None,
     on_epoch_end: Optional[Callable] = None,
+    mesh=None,
+    num_hosts: int = 1,
+    host_id: int = 0,
 ):
-    """Full fine-tune of one identity. Returns (trainable, history)."""
+    """Full fine-tune of one identity. Returns (trainable, history).
+
+    `mesh`: optional `jax.sharding.Mesh` — the epoch loop runs DATA-PARALLEL
+    (trainable/opt/frozen replicated, batches sharded over "data" via
+    `core.mesh.form_global_batch`). On a multi-host pod additionally pass
+    `num_hosts`/`host_id`: each host loads ONLY its row slice of every
+    global batch (`DreamBoothDataset.sharded_batches` — the Accelerate
+    dataloader-wrap contract, `train_ID-Booth.py:890-898`).
+    `cfg.train_batch_size` is the PER-HOST batch; global = × num_hosts."""
     logger = logger or setup_logging(output_dir)
     if instance_ids is None:
         instance_ids = tokenizer([cfg.instance_prompt])[0]
@@ -137,7 +148,8 @@ def run_identity(
         seed=cfg.seed,
         embed_dim=bundle.arcface_cfg.num_features,
     )
-    steps_per_epoch = max(len(dataset) // cfg.train_batch_size, 1)
+    global_batch = cfg.train_batch_size * max(num_hosts, 1)
+    steps_per_epoch = max(len(dataset) // global_batch, 1)
     total_steps = steps_per_epoch * cfg.num_train_epochs
 
     trainable = idbooth.init_trainable(
@@ -160,6 +172,13 @@ def run_identity(
         first_epoch += 1
         logger.info(f"resumed from {ckpt.latest()} (epoch {first_epoch})")
 
+    if mesh is not None:
+        from ..core.mesh import replicate as _replicate
+
+        trainable = _replicate(mesh, trainable)
+        opt_state = _replicate(mesh, opt_state)
+        frozen = _replicate(mesh, frozen)
+
     base_key = jax.random.key(cfg.seed)
     throughput = ThroughputLogger(
         frequency=50, total_steps=total_steps, logger=logger
@@ -171,7 +190,18 @@ def run_identity(
 
     for epoch in range(first_epoch, cfg.num_train_epochs):
         meters = {k: AverageMeter() for k in ("loss", "instance_loss", "prior_loss", "id_loss")}
-        for batch in dataset.batches(cfg.train_batch_size):
+        if mesh is not None or num_hosts > 1:
+            batch_iter = dataset.sharded_batches(
+                cfg.train_batch_size, num_shards=max(num_hosts, 1),
+                shard_index=host_id, epoch=epoch, order_seed=cfg.seed,
+            )
+        else:
+            batch_iter = dataset.batches(cfg.train_batch_size)
+        for batch in batch_iter:
+            if mesh is not None:
+                from ..core.mesh import form_global_batch
+
+                batch = form_global_batch(mesh, batch)
             key = train_step_key(base_key, global_step)
             trainable, opt_state, metrics = train_step(
                 trainable, opt_state, frozen, batch, key

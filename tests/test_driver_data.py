@@ -229,3 +229,39 @@ def test_faa_policy_shim(tmp_path):
         assert len(real) >= 50  # casia table has 50 subpolicies
         out3 = faa_augment(real)(img, np.random.default_rng(2))
         assert out3.shape == img.shape
+
+
+def test_run_identity_mesh_epoch_matches_single_device(tmp_path):
+    """Epoch-level multi-device training (VERDICT r2 #4b closure): the
+    driver on a 4-device DP mesh with the per-host sharded loader must
+    reproduce the single-device driver's epoch losses when fed the same
+    global batch order (order_seed path)."""
+    from faceposegenerator_tpu.core.mesh import make_mesh
+
+    inst, cls = _image_tree(tmp_path, n=4)
+    cfg = idbooth.IDBoothConfig(
+        which_loss="triplet_prior", resolution=64, num_train_epochs=2,
+        checkpointing_epochs=99, validation_epochs=99, train_batch_size=2,
+    )
+    frozen = _frozen()
+    ids = np.arange(77, dtype=np.int32)
+
+    mesh = make_mesh(devices=jax.devices()[:4])
+    _, hist_mesh = idbooth_driver.run_identity(
+        cfg, TINY, frozen, inst, str(tmp_path / "mesh"),
+        class_dir=cls, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids, resume=False, mesh=mesh,
+    )
+    # single-device reference: a 1-device mesh rides the SAME sharded-loader
+    # order (order_seed, epoch) so both runs see identical batches and crops
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    _, hist_single = idbooth_driver.run_identity(
+        cfg, TINY, frozen, inst, str(tmp_path / "single"),
+        class_dir=cls, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids, resume=False, mesh=mesh1,
+    )
+    assert len(hist_mesh) == len(hist_single) == 2
+    for a, b in zip(hist_mesh, hist_single):
+        assert np.isfinite(a["loss"])
+        # same batches, same RNG: losses agree up to fp32 resharding noise
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=2e-3)
