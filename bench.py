@@ -452,6 +452,9 @@ def bench_serve(batch: int, steps: int, repeats: int):
 
     n = 2 * batch
     burst(n, "warmup")  # compile both … actually one program; warms it
+    with server._stats_lock:  # drop compile-time batches from the telemetry
+        for k in ("batch_times", "batch_sizes", "queue_times"):
+            server._stats[k].clear()
     times = []
     for r in range(repeats):
         t0 = time.perf_counter()

@@ -42,12 +42,21 @@ def train_fr_run(
     logger=None,
     max_steps_per_epoch: Optional[int] = None,
     checkpoint_every_epoch: bool = False,
+    mesh=None,
+    num_hosts: int = 1,
+    host_id: int = 0,
 ) -> Dict:
     """One FR training run. val_bins: {benchmark: (images, issame)}.
 
     `checkpoint_every_epoch` saves backbone+header each epoch alongside the
     best-model file (`CallBackModelCheckpointOld`,
-    `FR_training/utils/utils_callbacks.py:209-239`)."""
+    `FR_training/utils/utils_callbacks.py:209-239`).
+
+    `mesh`: optional DP mesh — params replicated, batches sharded over
+    "data" (`core.mesh.form_global_batch`); with `num_hosts`/`host_id` each
+    host loads only its row slice of every global batch (the reference gets
+    this from Accelerate, `train_FR.py:227-229`). `cfg.batch_size` is the
+    PER-HOST batch."""
     logger = logger or setup_logging(output_dir)
     best_path = os.path.join(output_dir, "best_backbone.npz")
     if os.path.exists(best_path):
@@ -59,11 +68,18 @@ def train_fr_run(
     snapshot_config(cfg, output_dir, "fr_config.json")
 
     params, state = fr.init_train_state(jax.random.key(seed), cfg)
-    steps_per_epoch = max(len(dataset) // cfg.batch_size, 1)
+    global_batch = cfg.batch_size * max(num_hosts, 1)
+    steps_per_epoch = max(len(dataset) // global_batch, 1)
     optimizer = fr.make_optimizer(cfg, steps_per_epoch)
     opt_state = optimizer.init(params)
     step_fn = fr.make_train_step(cfg, optimizer, policy=policy, donate=False)
     plateau = fr.PlateauScheduler(cfg) if cfg.lr_schedule == "plateau" else None
+    if mesh is not None:
+        from ..core.mesh import replicate as _replicate
+
+        params = _replicate(mesh, params)
+        state = _replicate(mesh, state)
+        opt_state = _replicate(mesh, opt_state)
 
     base_key = jax.random.key(seed)
     throughput = ThroughputLogger(frequency=100, logger=logger)
@@ -71,9 +87,17 @@ def train_fr_run(
     history: List[Dict] = []
 
     for epoch in range(cfg.num_epochs):
-        for i, batch in enumerate(prefetch(dataset.batches(cfg.batch_size))):
+        batch_iter = dataset.batches(
+            cfg.batch_size, num_shards=max(num_hosts, 1), shard_index=host_id,
+            epoch=epoch, order_seed=seed,
+        ) if (mesh is not None or num_hosts > 1) else dataset.batches(cfg.batch_size)
+        for i, batch in enumerate(prefetch(batch_iter)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
+            if mesh is not None:
+                from ..core.mesh import form_global_batch
+
+                batch = form_global_batch(mesh, batch)
             params, state, opt_state, metrics = step_fn(
                 params, state, opt_state, batch, train_step_key(base_key, global_step)
             )

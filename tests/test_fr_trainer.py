@@ -91,3 +91,44 @@ def test_embed_fn_shapes():
     embed = fr.make_embed_fn(cfg, params, state, policy=PARITY_POLICY)
     out = embed(jnp.zeros((2, 112, 112, 3)))
     assert out.shape == (2, 32)
+
+
+def test_fr_driver_mesh_epoch_matches_single_device(tmp_path):
+    """Epoch-level DP FR training through the driver: a 4-device mesh run
+    with the sharded loader reproduces the 1-device run (same order_seed →
+    same global batches)."""
+    from PIL import Image
+
+    from faceposegenerator_tpu.data.fr_dataset import FlatDirDataset
+    from faceposegenerator_tpu.training import fr_driver
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "flat"
+    root.mkdir()
+    for label in range(4):
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (112, 112, 3), np.uint8)).save(
+                root / f"{label}_{label}_{i}.jpg"
+            )
+
+    cfg = _tiny_cfg(batch_size=4, num_epochs=2, lr_schedule="step")
+
+    def run(tag, mesh):
+        ds = FlatDirDataset(str(root), image_size=112, seed=0)
+        out = str(tmp_path / tag)
+        r = fr_driver.train_fr_run(
+            cfg, ds, out, val_bins=None, policy=PARITY_POLICY, seed=0, mesh=mesh,
+        )
+        best = np.load(out + "/best_backbone.npz")
+        return r, best
+
+    r4, best4 = run("mesh4", make_mesh(devices=jax.devices()[:4]))
+    r1, best1 = run("mesh1", make_mesh(devices=jax.devices()[:1]))
+    assert not r4["skipped"] and not r1["skipped"]
+    # final backbone params agree to fp32 resharding tolerance
+    keys = [k for k in best4.files if k.startswith("params")][:20]
+    for k in keys:
+        a, b = best4[k], best1[k]
+        # absolute+relative: near-zero leaves (zero-init biases under weight
+        # decay, ~1e-12) must not fail a pure relative criterion
+        assert np.linalg.norm(a - b) < 5e-3 * np.linalg.norm(b) + 1e-6, k
