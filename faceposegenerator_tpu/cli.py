@@ -89,6 +89,14 @@ def cmd_generate(argv):
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--guidance", type=float, default=5.0)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument(
+        "--eval", action="store_true",
+        help="stream CR-FIQA + 6DRepNet pose over the in-memory device "
+             "batches while generating (no PNG re-read round-trips); writes "
+             "<output>/eval/fiqa_scores.txt and pose_stats.json",
+    )
+    ap.add_argument("--fiqa_weights", default=None, help="CR-FIQA .pth for --eval")
+    ap.add_argument("--fiqa_network", default="r100")
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -96,12 +104,60 @@ def cmd_generate(argv):
 
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
     pipe.set_scheduler("ddpm")
+
+    on_images = None
+    finish_eval = None
+    if args.eval:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .evaluation import fiqa, pose
+        from .models import iresnet
+
+        fcfg = iresnet.config_for(args.fiqa_network)
+        if args.fiqa_weights:
+            from .bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
+
+            sd = load_torch_pth(args.fiqa_weights)
+            fparams, fstate = convert_iresnet_state_dict(sd, fcfg)
+            qs = fiqa.convert_qs_from_state_dict(sd)
+        else:
+            fparams, fstate = iresnet.init(jax.random.key(0), fcfg)
+            qs = fiqa.init_qs_head(jax.random.key(1))
+        quality_fn_u8 = fiqa.make_quality_fn_u8(fparams, fstate, qs, fcfg)
+        pose_fn_u8 = pose.make_pose_fn_u8(pose.init_sixdrepnet(jax.random.key(2)))
+
+        dev_evals, names, idents = [], [], []
+
+        def on_images(model_name, identity, batch_names, dev_imgs):
+            _, q = quality_fn_u8(dev_imgs)
+            dev_evals.append(jnp.concatenate([pose_fn_u8(dev_imgs), q[:, None]], axis=1))
+            names.extend(f"{model_name}/{identity}/{n}" for n in batch_names)
+            idents.extend([f"{model_name}/{identity}"] * len(batch_names))
+
+        def finish_eval():
+            evals = np.asarray(jnp.concatenate(dev_evals)) if dev_evals else np.zeros((0, 4))
+            eval_dir = os.path.join(args.output, "eval")
+            os.makedirs(eval_dir, exist_ok=True)
+            with open(os.path.join(eval_dir, "fiqa_scores.txt"), "w") as f:
+                for n, s in zip(names, evals[:, 3]):
+                    f.write(f"{n} {float(s)}\n")
+            per_id = {}
+            for ident, p in zip(idents, evals[:, :3]):
+                per_id.setdefault(ident, []).append([float(v) for v in p])
+            pose.aggregate_poses(per_id, os.path.join(eval_dir, "pose_stats.json"))
+            print(json.dumps({"eval": eval_dir, "images": len(names)}))
+
     run_sweep(
         pipe, args.lora_root, args.output,
         gender_dict_path=args.gender_dict, checkpoint=args.checkpoint,
         num_prompts=args.num_prompts, num_inference_steps=args.steps,
         guidance_scale=args.guidance, batch_size=args.batch_size, seed=args.seed,
+        on_images=on_images,
     )
+    if finish_eval is not None:
+        finish_eval()
 
 
 def cmd_extract_embeds(argv):

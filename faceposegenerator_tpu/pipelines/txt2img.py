@@ -57,12 +57,18 @@ class StableDiffusionPipeline:
         cls,
         model_dir: str,
         dtype=jnp.bfloat16,
-        models: SamplerModels = SamplerModels(),
+        models: Optional[SamplerModels] = None,
         policy: Optional[Policy] = None,
     ):
-        from ..bridge.torch_weights import load_sd21_params
+        from ..bridge.torch_weights import configs_from_model_dir, load_sd21_params
         from ..data.tokenizer import CLIPTokenizer
 
+        if models is None:
+            # derive model configs from the checkpoint's own config.json
+            # files — a non-SD2.1-sized diffusers dir must not be forced
+            # through the SD2.1 default shapes
+            text_cfg, unet_cfg, vae_cfg = configs_from_model_dir(model_dir)
+            models = SamplerModels(text_cfg=text_cfg, unet_cfg=unet_cfg, vae_cfg=vae_cfg)
         params = load_sd21_params(model_dir, dtype=dtype)
         tok_dir = os.path.join(model_dir, "tokenizer")
         tokenizer = CLIPTokenizer.from_pretrained(tok_dir) if os.path.isdir(tok_dir) else None

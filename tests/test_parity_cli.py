@@ -166,3 +166,47 @@ def test_parity_mtcnn_leg(tmp_path):
     verdict = json.load(open(out))
     assert verdict["pass"] is True, verdict
     assert max(verdict["mtcnn"]["net_max_abs"].values()) < 5e-3
+
+
+def test_generate_cli_streaming_eval(tmp_path):
+    """`cli generate --eval`: the synthesis sweep with CR-FIQA + pose
+    streamed from the in-memory device batches — writes the PNG tree AND
+    eval artifacts without re-reading images from disk."""
+    model_dir = str(tmp_path / "sd")
+    _write_tiny_model_dir(model_dir)
+    # byte-fallback tokenizer files so from_pretrained gets a tokenizer
+    from faceposegenerator_tpu.data.tokenizer import bytes_to_unicode
+
+    tok_dir = os.path.join(model_dir, "tokenizer")
+    os.makedirs(tok_dir)
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    with open(os.path.join(tok_dir, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(tok_dir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+
+    lora_root = str(tmp_path / "loras")
+    # identities are discovered under the FIRST model variant's folder; no
+    # checkpoint subdir → the sweep samples the base model (bench behavior)
+    for variant in ("DreamBooth", "PortraitBooth", "ID-Booth"):
+        os.makedirs(os.path.join(lora_root, variant, "0"))
+    out = str(tmp_path / "gen")
+    rc = main([
+        "generate", "--model_dir", model_dir, "--lora_root", lora_root,
+        "--output", out, "--num_prompts", "2", "--steps", "2",
+        "--batch_size", "2", "--eval", "--fiqa_network", "r18",
+    ])
+    assert rc == 0
+    import numpy as np_
+
+    eval_dir = os.path.join(out, "eval")
+    lines = open(os.path.join(eval_dir, "fiqa_scores.txt")).read().strip().split("\n")
+    assert len(lines) == 6 and all(len(l.split()) == 2 for l in lines)  # 3 variants × 2
+    stats = json.load(open(os.path.join(eval_dir, "pose_stats.json")))
+    assert stats["global"]["count"] == 6
+    assert set(stats["per_id"]) == {f"{v}/0" for v in ("DreamBooth", "PortraitBooth", "ID-Booth")}
+    assert os.path.exists(os.path.join(out, "ID-Booth", "0", "0_000.png"))
