@@ -50,6 +50,22 @@ def register_encoder(name: str, factory: Callable[..., Callable]):
     _ENCODERS[name] = factory
 
 
+
+def _resize_norm_preprocess(size: int, mean, std, resample: str = "bicubic"):
+    """uint8 batch → encoder-input preprocessing (GradCAM image path)."""
+
+    def preprocess(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        rs = Image.BICUBIC if resample == "bicubic" else Image.BILINEAR
+        imgs = np.stack(
+            [np.asarray(Image.fromarray(b).resize((size, size), rs), np.float32) for b in batch]
+        )
+        return (imgs / 255.0 - mean) / std
+
+    return preprocess
+
+
 def _pixel_encoder(size: int = 32, **kw):
     def encode(batch: np.ndarray) -> np.ndarray:
         from PIL import Image
@@ -344,7 +360,7 @@ def main(argv=None):
     ap.add_argument(
         "--heatmaps", action="store_true",
         help="write FD-sensitivity GradCAM overlay grids (reference "
-             "`--heatmaps`; supported for inception/dinov2 encoders)",
+             "`--heatmaps`; inception/dinov2/mae/swav/clip/convnext)",
     )
     ap.add_argument("--heatmaps_count", type=int, default=16)
     args = ap.parse_args(argv)
@@ -481,6 +497,21 @@ def _clip_encoder(weights_path: Optional[str] = None, arch: str = "vitb32", **kw
         x = (imgs / 255.0 - clip_mean) / clip_std
         return np.asarray(fwd(x))
 
+    def preprocess(batch: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        imgs = np.stack(
+            [
+                np.asarray(Image.fromarray(b).resize((cfg.image_size, cfg.image_size), Image.BICUBIC), np.float32)
+                for b in batch
+            ]
+        )
+        return (imgs / 255.0 - clip_mean) / clip_std
+
+    from .heatmaps import make_clip_gradcam_encoder
+
+    encode.gradcam_encode = make_clip_gradcam_encoder(params, cfg)
+    encode.gradcam_preprocess = preprocess
     return encode
 
 
@@ -525,6 +556,12 @@ def _resnet_ssl_encoder(weights_path: Optional[str] = None, **kw):
         x = (imgs / 255.0 - imagenet_mean) / imagenet_std
         return np.asarray(fwd(x))
 
+    from .heatmaps import make_swav_gradcam_encoder
+
+    encode.gradcam_encode = make_swav_gradcam_encoder(params)
+    encode.gradcam_preprocess = _resize_norm_preprocess(
+        224, imagenet_mean, imagenet_std, resample="bilinear"
+    )
     return encode
 
 
@@ -570,6 +607,10 @@ def _mae_encoder(weights_path: Optional[str] = None, **kw):
         x = (imgs / 255.0 - imagenet_mean) / imagenet_std
         return np.asarray(fwd(x))
 
+    from .heatmaps import make_dinov2_gradcam_encoder
+
+    encode.gradcam_encode = make_dinov2_gradcam_encoder(params, cfg)
+    encode.gradcam_preprocess = _resize_norm_preprocess(224, imagenet_mean, imagenet_std)
     return encode
 
 
@@ -652,6 +693,10 @@ def _convnext_encoder(weights_path: Optional[str] = None, **kw):
         x = (imgs / 255.0 - imagenet_mean) / imagenet_std
         return np.asarray(fwd(x))
 
+    from .heatmaps import make_convnext_gradcam_encoder
+
+    encode.gradcam_encode = make_convnext_gradcam_encoder(params, cfg)
+    encode.gradcam_preprocess = _resize_norm_preprocess(224, imagenet_mean, imagenet_std)
     return encode
 
 

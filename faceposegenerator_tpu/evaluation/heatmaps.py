@@ -169,13 +169,50 @@ def make_inception_gradcam_encoder(params):
 
 
 def make_dinov2_gradcam_encoder(params, cfg=None):
-    """Tap at the last layer's norm1 (reference target 'blocks.23.norm1')."""
+    """Tap at the last layer's norm1 (reference targets 'blocks.23.norm1'
+    for BOTH dinov2 and mae — the MAE ViT shares this module)."""
     from ..models import dinov2
 
     cfg = cfg or dinov2.VITL14_CONFIG
 
     def encode(images, tap):
         return dinov2.cls_feature(params, images, cfg, tap=tap)
+
+    return encode
+
+
+def make_swav_gradcam_encoder(params):
+    """Tap at the final bottleneck output (reference target 'layer4.2')."""
+    import jax.numpy as jnp
+
+    from ..models import resnet50
+
+    def encode(images, tap):
+        return resnet50.apply(params, images, tap=tap).astype(jnp.float32)
+
+    return encode
+
+
+def make_clip_gradcam_encoder(params, cfg):
+    """Tap at the last resblock's ln_1 (reference target
+    'visual.transformer.resblocks.11.ln_1')."""
+    from ..models import clip_vision
+
+    def encode(images, tap):
+        return clip_vision.cls_feature(params, images, cfg, tap=tap)
+
+    return encode
+
+
+def make_convnext_gradcam_encoder(params, cfg):
+    """Tap at the last stage's final block (reference target
+    'stages.3.blocks.2')."""
+    import jax.numpy as jnp
+
+    from ..models import convnext
+
+    def encode(images, tap):
+        return convnext.apply(params, images, cfg, tap=tap).astype(jnp.float32)
 
     return encode
 

@@ -100,8 +100,12 @@ def apply(
     images: jax.Array,
     cfg: CLIPVisionConfig = VITB32_CLIP_CONFIG,
     policy: Policy = DEFAULT_POLICY,
+    tap=None,
 ) -> jax.Array:
-    """images: (B, H, W, 3) CLIP-normalized. Returns hidden states (B, 1+N, D)."""
+    """images: (B, H, W, 3) CLIP-normalized. Returns hidden states (B, 1+N, D).
+
+    `tap`: optional callable applied to the LAST layer's ln1 output (the
+    reference GradCAM target 'visual.transformer.resblocks.11.ln_1')."""
     x = images.astype(policy.compute_dtype)
     b = x.shape[0]
     dn = jax.lax.conv_dimension_numbers(
@@ -121,8 +125,11 @@ def apply(
 
     nh, hd = cfg.num_heads, cfg.head_dim
     s = x.shape[1]
-    for lp in params["layers"]:
+    n_layers = len(params["layers"])
+    for li, lp in enumerate(params["layers"]):
         hn = layer_norm(x, lp["ln1"]["g"], lp["ln1"]["b"], eps=cfg.layer_norm_eps)
+        if tap is not None and li == n_layers - 1:
+            hn = tap(hn)
         q = lora_dense(hn, lp["q"]["w"], lp["q"]["b"]).reshape(b, s, nh, hd)
         k = lora_dense(hn, lp["k"]["w"], lp["k"]["b"]).reshape(b, s, nh, hd)
         v = lora_dense(hn, lp["v"]["w"], lp["v"]["b"]).reshape(b, s, nh, hd)
@@ -134,10 +141,10 @@ def apply(
     return x
 
 
-def cls_feature(params, images, cfg: CLIPVisionConfig = VITB32_CLIP_CONFIG, policy: Policy = DEFAULT_POLICY):
+def cls_feature(params, images, cfg: CLIPVisionConfig = VITB32_CLIP_CONFIG, policy: Policy = DEFAULT_POLICY, tap=None):
     """The dgm-eval clip representation: ln_post(CLS) WITHOUT the visual
     projection (depth=0 default, `dgm_eval/models/clip.py:60-70`)."""
-    h = apply(params, images, cfg, policy)
+    h = apply(params, images, cfg, policy, tap=tap)
     cls = h[:, 0]
     return layer_norm(
         cls, params["post_ln"]["g"], params["post_ln"]["b"], eps=cfg.layer_norm_eps

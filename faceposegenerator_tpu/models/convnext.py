@@ -57,8 +57,11 @@ def _block(x, p, dim):
     return x + h
 
 
-def apply(params: Dict, images: jax.Array, cfg: ConvNeXtConfig = CONVNEXT_LARGE) -> jax.Array:
-    """images: (B, H, W, 3) imagenet-normalized. Returns (B, dims[-1])."""
+def apply(params: Dict, images: jax.Array, cfg: ConvNeXtConfig = CONVNEXT_LARGE, tap=None) -> jax.Array:
+    """images: (B, H, W, 3) imagenet-normalized. Returns (B, dims[-1]).
+
+    `tap`: optional callable applied to the final stage's last block output
+    (the reference GradCAM target 'stages.3.blocks.2')."""
     x = images.astype(jnp.float32)
     x = _conv(x, params["stem_conv"], stride=4)
     x = layer_norm(x, params["stem_norm"]["g"], params["stem_norm"]["b"], eps=LN_EPS)
@@ -69,6 +72,8 @@ def apply(params: Dict, images: jax.Array, cfg: ConvNeXtConfig = CONVNEXT_LARGE)
             x = _conv(x, ds["conv"], stride=2)
         for b in range(depth):
             x = _block(x, params[f"stage{s}_blocks"][b], dim)
+    if tap is not None:
+        x = tap(x)
     x = jnp.mean(x, axis=(1, 2))
     return layer_norm(x, params["head_norm"]["g"], params["head_norm"]["b"], eps=LN_EPS)
 

@@ -48,8 +48,12 @@ WIDTHS = (64, 128, 256, 512)
 STRIDES = (1, 2, 2, 2)
 
 
-def apply(params: Dict, images: jax.Array) -> jax.Array:
-    """images: (B, H, W, 3) imagenet-normalized. Returns (B, 2048) features."""
+def apply(params: Dict, images: jax.Array, tap=None) -> jax.Array:
+    """images: (B, H, W, 3) imagenet-normalized. Returns (B, 2048) features.
+
+    `tap`: optional callable applied to the final bottleneck output (the
+    reference GradCAM target 'layer4.2' for swav,
+    `dgm_eval/heatmaps/gradcam.py` MODEL_TO_LAYER_NAME_MAP)."""
     x = images.astype(jnp.float32)
     x = _conv_bn(x, params["stem"], stride=2, padding=3)
     x = jax.lax.reduce_window(
@@ -59,6 +63,8 @@ def apply(params: Dict, images: jax.Array) -> jax.Array:
     for li, (n, stride) in enumerate(zip(LAYERS, STRIDES)):
         for bi in range(n):
             x = _bottleneck(x, params[f"layer{li + 1}"][bi], stride if bi == 0 else 1)
+    if tap is not None:
+        x = tap(x)
     return jnp.mean(x, axis=(1, 2))
 
 

@@ -198,3 +198,42 @@ def test_gradcam_dinov2_and_inception_taps():
         imgs = rng.uniform(0, 1, (6, 56, 56, 3)).astype(np.float32)
         visualize_heatmaps(imgs, reps_real, reps_gen, enc, out, per_row=2)
         assert os.path.exists(out)
+
+
+def test_gradcam_taps_all_target_encoders():
+    """Every reference GradCAM target layer (MODEL_TO_LAYER_NAME_MAP) has a
+    working functional tap: swav layer4.2, clip resblocks[-1].ln_1, convnext
+    stages.3.blocks.2 (inception/dinov2/mae covered elsewhere)."""
+    from faceposegenerator_tpu.evaluation.heatmaps import (
+        GradCAM,
+        make_clip_gradcam_encoder,
+        make_convnext_gradcam_encoder,
+        make_swav_gradcam_encoder,
+    )
+    from faceposegenerator_tpu.models import clip_vision, convnext, resnet50
+
+    rng = np.random.default_rng(5)
+
+    cases = []
+    # clip: tiny ViT
+    ccfg = clip_vision.CLIPVisionConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        patch_size=16, image_size=64,
+    )
+    cparams = clip_vision.init(jax.random.key(0), ccfg)
+    cases.append(("clip", make_clip_gradcam_encoder(cparams, ccfg), (1, 64, 64, 3), (4, 4)))
+    # convnext: tiny config
+    ncfg = convnext.ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32))
+    nparams = convnext.init(jax.random.key(1), ncfg)
+    cases.append(("convnext", make_convnext_gradcam_encoder(nparams, ncfg), (1, 64, 64, 3), (2, 2)))
+    # swav: full resnet50 (fixed arch), tiny input
+    sparams = resnet50.init(jax.random.key(2))
+    cases.append(("swav", make_swav_gradcam_encoder(sparams), (1, 64, 64, 3), (2, 2)))
+
+    for name, enc, in_shape, heat_shape in cases:
+        feats = enc(jnp.asarray(rng.standard_normal(in_shape), jnp.float32), lambda a: a)
+        d = int(feats.shape[-1])
+        cam = GradCAM(enc, rng.standard_normal((3 * d, d)), rng.standard_normal((12, d)))
+        heat, delta = cam.get_map(rng.standard_normal(in_shape).astype(np.float32), idx=1)
+        assert heat.shape == heat_shape, (name, heat.shape)
+        assert np.isfinite(delta), name
