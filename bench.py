@@ -135,6 +135,15 @@ def bench_sweep(repeats: int):
     pose_fn_u8 = pose.make_pose_fn_u8(pose_params)
 
     n_prompts = int(os.environ.get("BENCH_SWEEP_PROMPTS", "8"))
+    # Steady-state measurement: the reference op point is a sweep over MANY
+    # identities × 3 model variants (`inference_ID-Booth.py:86-97`), not one
+    # isolated batch. With >1 identity per timed pass, run_sweep's one-deep
+    # pipeline hides each batch's host tail (u8 fetch + PNG + eval dispatch,
+    # ~0.8 s) under generation of the next identity's batch; a single-batch
+    # pass exposes the full tail (1.663 vs ~1.9 img/s at 8 prompts,
+    # perf/r3b_sweep_steady.jsonl). BENCH_SWEEP_IDS=1 recovers the isolated
+    # single-pass configuration.
+    n_ids = int(os.environ.get("BENCH_SWEEP_IDS", "3"))
     # bs8 generation batches beat bs16 even within the sweep (1.915 vs
     # 1.817 at 16 prompts, perf/r3_final_benches.jsonl): bs8 is the raw
     # sampler optimum AND multi-batch passes overlap host work under
@@ -165,7 +174,7 @@ def bench_sweep(repeats: int):
 
         run_sweep(
             pipe, lora_root, out_root,
-            identities=["0"], models_to_test=("ID-Booth",),
+            identities=[str(i) for i in range(n_ids)], models_to_test=("ID-Booth",),
             num_prompts=n_prompts, num_inference_steps=30,
             guidance_scale=5.0, batch_size=gen_batch, seed=0,
             on_images=harness if run_eval else None, write_pngs=write_pngs,
@@ -191,12 +200,15 @@ def bench_sweep(repeats: int):
             one_pass(wd)
             times.append(time.perf_counter() - t0)
     best = min(times)
+    n_images = n_prompts * n_ids
+    ids_tag = f" x {n_ids} identities" if n_ids != 1 else ""
     return {
-        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts, 30-step CFG + FIQA + pose)",
-        "value": round(n_prompts / best, 3),
+        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}, 30-step CFG + FIQA + pose)",
+        "value": round(n_images / best, 3),
         "unit": "img/s",
-        "vs_baseline": round(n_prompts / best / 30.0, 3),
-        "extra": {"pass_s": round(best, 2), "device": str(jax.devices()[0])},
+        "vs_baseline": round(n_images / best / 30.0, 3),
+        "extra": {"pass_s": round(best, 2), "n_images": n_images,
+                  "device": str(jax.devices()[0])},
     }
 
 

@@ -97,6 +97,12 @@ def cmd_generate(argv):
     )
     ap.add_argument("--fiqa_weights", default=None, help="CR-FIQA .pth for --eval")
     ap.add_argument("--fiqa_network", default="r100")
+    ap.add_argument(
+        "--data_parallel", type=int, default=0, metavar="N",
+        help="generate over an N-device data-parallel mesh (prompt batch "
+             "sharded over 'data', params/LoRAs replicated once; batch_size "
+             "must divide N)",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -104,6 +110,15 @@ def cmd_generate(argv):
 
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
     pipe.set_scheduler("ddpm")
+    if args.data_parallel:
+        import jax
+
+        from .core.mesh import make_mesh
+
+        if args.batch_size % args.data_parallel != 0:
+            ap.error(f"--batch_size {args.batch_size} must divide "
+                     f"--data_parallel {args.data_parallel}")
+        pipe.to_mesh(make_mesh(devices=jax.devices()[: args.data_parallel]))
 
     on_images = None
     finish_eval = None

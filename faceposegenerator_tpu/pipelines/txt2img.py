@@ -40,6 +40,7 @@ class StableDiffusionPipeline:
         tokenizer=None,
         policy: Policy = DEFAULT_POLICY,
         scheduler_config: SchedulerConfig = SchedulerConfig(),
+        mesh=None,
     ):
         self.params = params
         self.models = models
@@ -49,6 +50,24 @@ class StableDiffusionPipeline:
         self.scheduler_kind = "ddpm"
         self.lora = None
         self.lora_scale = 1.0
+        self.mesh = None
+        if mesh is not None:
+            self.to_mesh(mesh)
+
+    def to_mesh(self, mesh):
+        """Serve the pipeline DATA-PARALLEL over a `jax.sharding.Mesh`: the
+        prompt batch shards over the mesh "data" axis, params/LoRAs are
+        replicated ONCE here (not per call — the reference parallelizes
+        generation only by running whole processes per GPU,
+        SURVEY.md §2.5). All pipeline invariants hold: one compiled program,
+        LoRA swap without recompile, identity-index seeding. The per-call
+        batch must divide the data-axis size."""
+        from ..core.mesh import replicate
+
+        self.mesh = mesh
+        self.params = replicate(mesh, self.params)
+        if self.lora is not None:
+            self.lora = replicate(mesh, self.lora)
 
     # -- constructors -------------------------------------------------------
 
@@ -98,13 +117,19 @@ class StableDiffusionPipeline:
     def load_lora_weights(self, path_or_dir: str, scale: float = 1.0):
         """Load a diffusers-format LoRA checkpoint. No recompile: the LoRA
         pytree always has the same (fixed-rank) structure."""
-        self.lora = load_lora_safetensors(
-            path_or_dir, self.params["unet"], self.params["text_encoder"],
-            dtype=self.policy.param_dtype,
+        self.set_lora(
+            load_lora_safetensors(
+                path_or_dir, self.params["unet"], self.params["text_encoder"],
+                dtype=self.policy.param_dtype,
+            ),
+            scale,
         )
-        self.lora_scale = scale
 
     def set_lora(self, lora: Optional[dict], scale: float = 1.0):
+        if lora is not None and self.mesh is not None:
+            from ..core.mesh import replicate
+
+            lora = replicate(self.mesh, lora)  # placed once, reused per call
         self.lora = lora
         self.lora_scale = scale
 
@@ -149,6 +174,19 @@ class StableDiffusionPipeline:
 
         if key is None:
             key = sampler_key(seed if seed is not None else 0)
+
+        if self.mesh is not None:
+            from ..core.mesh import DATA_AXIS, shard_batch
+
+            n_data = self.mesh.shape[DATA_AXIS]
+            if input_ids.shape[0] % n_data != 0:
+                raise ValueError(
+                    f"batch {input_ids.shape[0]} must divide the mesh data "
+                    f"axis ({n_data}) for data-parallel sampling"
+                )
+            input_ids, negative_input_ids = shard_batch(
+                self.mesh, (input_ids, negative_input_ids)
+            )
 
         if self.scheduler_kind == "ddpm":
             sched = make_ddpm(self.scheduler_config, num_inference_steps)

@@ -90,6 +90,41 @@ def test_2d_parallel_sampling_matches_single_device():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=2e-3)
 
 
+def test_pipeline_to_mesh_matches_single_device():
+    """StableDiffusionPipeline.to_mesh (data-parallel generation, used by
+    `cli generate --data_parallel`) reproduces the single-device pipeline,
+    including a LoRA set AFTER the mesh placement (replicated on set)."""
+    from faceposegenerator_tpu.diffusion.lora_io import zero_lora
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    params = _params()
+    ids = jax.random.randint(jax.random.key(11), (8, 77), 0, 128)
+
+    def build():
+        return StableDiffusionPipeline(dict(params), models=TINY, policy=PARITY_POLICY)
+
+    single_pipe = build()
+    single = single_pipe(
+        input_ids=ids, num_inference_steps=2, height=64, width=64, seed=3,
+        output_type="np",
+    )
+    mesh_pipe = build()
+    mesh_pipe.to_mesh(make_mesh())
+    # LoRA set after mesh placement must be replicated (not left host-side)
+    lora = zero_lora(params["unet"], params["text_encoder"], rank=4)
+    mesh_pipe.set_lora(lora)
+    sharded = mesh_pipe(
+        input_ids=ids, num_inference_steps=2, height=64, width=64, seed=3,
+        output_type="np",
+    )
+    np.testing.assert_allclose(sharded, single, atol=5e-4)
+    # batch not divisible by the data axis is a clear error, not a crash
+    import pytest
+
+    with pytest.raises(ValueError, match="data"):
+        mesh_pipe(input_ids=ids[:3], num_inference_steps=2, height=64, width=64)
+
+
 def test_sampler_flash_path_matches_reference():
     """The composed sampler with the Pallas flash attention (interpret mode
     on CPU) reproduces the reference-einsum sampler — covers the packed
