@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.compile import jit as _options_jit
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..models import clip_text, unet2d, vae
 from .schedulers import DDPMSchedule, DPMSolverSchedule
@@ -38,7 +39,10 @@ class SamplerModels:
 
 
 @functools.partial(
-    jax.jit,
+    # core.compile.jit: forwards env-selected XLA compiler options (e.g.
+    # TPU_SCOPED_VMEM_KIB — read at import time) through the per-compile
+    # options proto; identical to jax.jit when no options are set.
+    _options_jit,
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
         "decode_chunk",
