@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.config import ConfigBase
+from ..core.compile import jit as _options_jit
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..models import iresnet
 from . import losses as L
@@ -174,7 +175,7 @@ def make_train_step(
         acc = jnp.mean((jnp.argmax(logits, axis=1) == labels).astype(jnp.float32))
         return loss, (new_state, {"loss": loss, "train_acc": acc})
 
-    @functools.partial(jax.jit, donate_argnums=(0, 2) if donate else ())
+    @functools.partial(_options_jit, donate_argnums=(0, 2) if donate else ())
     def train_step(params, state, opt_state, batch, key):
         (loss, (new_state, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, state, batch, key

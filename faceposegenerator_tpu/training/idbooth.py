@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.config import ConfigBase
+from ..core.compile import jit as _options_jit
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..diffusion.schedulers import DDPMSchedule, make_ddpm
 from ..models import clip_text, unet2d, vae, iresnet
@@ -322,7 +323,7 @@ def make_train_step(
         schedule = make_ddpm()
     loss_fn = make_loss_fn(cfg, models, schedule, policy, detect_fn)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    @functools.partial(_options_jit, donate_argnums=(0, 1) if donate else ())
     def train_step(trainable, opt_state, frozen, batch, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(trainable, frozen, batch, key)
