@@ -147,6 +147,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k,
             )
 
 
+def _kernel_compiler_params(block_q, block_k, interpret):
+    """Grid semantics plus a kernel-local VMEM budget. Blocks >1024 exceed
+    the 16 MB default scoped-VMEM limit (the fp32 score tile alone is
+    block_q·block_k·4 bytes; block 2048 needs 42 MB — measured compile OOM,
+    perf/r3f_vmem_probe.jsonl). `vmem_limit_bytes` raises the limit for
+    THIS kernel's compilation only, leaving the surrounding XLA program's
+    scoped-vmem fusion budget at its default (unlike the global
+    TPU_SCOPED_VMEM_KIB option, which changes fusion decisions everywhere).
+    FLASH_VMEM_MB overrides the estimate."""
+    if pltpu is None or interpret:
+        return None
+    kw = {}
+    force_mb = int(_os.environ.get("FLASH_VMEM_MB", "0"))
+    if force_mb:
+        kw["vmem_limit_bytes"] = force_mb * 1024 * 1024
+    else:
+        est = 3 * block_q * block_k * 4 + 8 * 1024 * 1024
+        if est > 16 * 1024 * 1024:
+            kw["vmem_limit_bytes"] = min(est, 112 * 1024 * 1024)
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"), **kw
+    )
+
+
 def _cap_blocks_for_dim(block_q, block_k, d):
     """Scale blocks down for wide heads so the per-block VMEM footprint
     (q/k/v tiles + fp32 logits + (bq, d) fp32 scratch) stays inside the
@@ -186,11 +210,7 @@ def _flash_fwd_3d(q, k, v, scale, kv_len, block_q, block_k, interpret,
         _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
         save_lse=save_lse,
     )
-    compiler_params = None
-    if pltpu is not None and not interpret:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        )
+    compiler_params = _kernel_compiler_params(block_q, block_k, interpret)
     o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
     out_shape = jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype)
     if save_lse:
@@ -477,11 +497,7 @@ def _flash_fwd_3d_packed(
             _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_k=block_k, d=d,
             mxu_sum=_MXU_SUM if mxu_sum is None else mxu_sum, save_lse=save_lse,
         )
-    compiler_params = None
-    if pltpu is not None and not interpret:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        )
+    compiler_params = _kernel_compiler_params(block_q, block_k, interpret)
     q_spec = pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0))
     out_shape = jax.ShapeDtypeStruct((bh2, sq_p, d2), q.dtype)
     if save_lse:
@@ -626,11 +642,7 @@ def _flash_bwd_3d_plain(
         k, v = jnp.pad(k, kpad), jnp.pad(v, kpad)
     sq_p, skv_p = sq + pad_q, skv + pad_k
 
-    compiler_params = None
-    if pltpu is not None and not interpret:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        )
+    compiler_params = _kernel_compiler_params(block_q, block_k, interpret)
 
     dkv_kernel = functools.partial(
         _bwd_kernel_plain_dkv, kv_len=kv_len, block_k=block_k
@@ -846,11 +858,7 @@ def _flash_bwd_3d_packed(
     sq_p, skv_p = sq + pad_q, skv + pad_k
 
     q_spec = pl.BlockSpec((1, block_q, d2), lambda b, x, y: (b, x, 0))
-    compiler_params = None
-    if pltpu is not None and not interpret:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        )
+    compiler_params = _kernel_compiler_params(block_q, block_k, interpret)
 
     # dk/dv pass: kv blocks outer-parallel, q blocks inner-sequential
     dkv_kernel = functools.partial(
