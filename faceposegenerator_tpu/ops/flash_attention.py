@@ -40,10 +40,16 @@ NEG_INF = -1e30
 # profiling is unavailable and each measurement is a full bench run)
 import os as _os
 
-# measured on v5e (512² SD2.1 bs16 sampling, 2026-08-16): 512/1024 → 1.85,
-# 512/2048 → 1.82, 1024/1024 → 1.90 img/s end-to-end
-DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "1024"))
-DEFAULT_BLOCK_K = int(_os.environ.get("FLASH_BLOCK_K", "1024"))
+# measured on v5e (512² SD2.1 sampling, end-to-end img/s): bs16 2026-08-16:
+# 512/1024 → 1.85, 512/2048 → 1.82, 1024/1024 → 1.90. bs8 2026-08-17 with
+# kernel-local vmem (perf/r3i_blocks.jsonl): 1024/1024 → 2.005,
+# 2048/2048 → 2.021, 4096/1024 → 2.028, 1024/4096 → 2.030,
+# 4096/2048 → 2.046, 2048/4096 → 2.048 (best: whole-KV block at S=4096
+# removes every online-softmax rescale pass; 4096/4096 exceeds VMEM).
+# Train step is neutral at 2048/4096 (8.82 vs 8.85, 4.52 vs 4.54 —
+# perf/r3h_train.jsonl), so the default is global.
+DEFAULT_BLOCK_Q = int(_os.environ.get("FLASH_BLOCK_Q", "2048"))
+DEFAULT_BLOCK_K = int(_os.environ.get("FLASH_BLOCK_K", "4096"))
 _BF16_EXP = _os.environ.get("FLASH_BF16_EXP", "0") == "1"
 _EXP2 = _os.environ.get("FLASH_EXP2", "0") == "1"
 LOG2E = 1.4426950408889634
