@@ -53,3 +53,27 @@ def test_jit_wrapper_transparent_without_env(monkeypatch):
     # decorator-factory and direct forms agree
     g = cc.jit(lambda x: x + 1)
     assert float(g(jnp.float32(1.0))) == 2.0
+
+
+def test_flash_kernel_vmem_budget(monkeypatch):
+    """ops.flash_attention._kernel_compiler_params: kernel-local
+    vmem_limit_bytes is set only when the block sizes need more than the
+    16 MB default scoped-VMEM (fp32 score tile = bq*bk*4 B), and
+    FLASH_VMEM_MB forces the budget."""
+    from faceposegenerator_tpu.ops import flash_attention as fa
+
+    if fa.pltpu is None:
+        pytest.skip("pallas tpu module unavailable")
+    monkeypatch.delenv("FLASH_VMEM_MB", raising=False)
+    # small blocks (the bwd default 512): estimate under 16 MB → no override
+    params = fa._kernel_compiler_params(512, 512, interpret=False)
+    assert params.vmem_limit_bytes is None
+    # 2048x4096 (the tuned default at S=4096): needs a raised budget
+    params = fa._kernel_compiler_params(2048, 4096, interpret=False)
+    assert params.vmem_limit_bytes == 3 * 2048 * 4096 * 4 + 8 * 1024 * 1024
+    # forced budget wins
+    monkeypatch.setenv("FLASH_VMEM_MB", "48")
+    params = fa._kernel_compiler_params(1024, 1024, interpret=False)
+    assert params.vmem_limit_bytes == 48 * 1024 * 1024
+    # interpret mode (CPU tests) never sets compiler params
+    assert fa._kernel_compiler_params(4096, 4096, interpret=True) is None
