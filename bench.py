@@ -221,7 +221,9 @@ def bench_embed(batch: int, repeats: int):
     cfg = iresnet.config_for("r100")
     params, state = iresnet.init(jax.random.key(0), cfg)
 
-    @jax.jit
+    from faceposegenerator_tpu.core.compile import jit as _options_jit
+
+    @_options_jit
     def embed(x):
         e, _ = iresnet.apply(params, state, x, cfg, policy=policy, train=False)
         return e
