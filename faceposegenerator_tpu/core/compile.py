@@ -34,14 +34,54 @@ def compiler_options_from_env() -> Optional[dict]:
     return opts or None
 
 
-def jit(fn=None, **jit_kwargs):
+def jit(fn=None, *, tpu_default_options: Optional[dict] = None, **jit_kwargs):
     """`jax.jit` that forwards env-selected XLA compiler options.
 
     Usable as `jit(fn, static_argnames=…)` or as a decorator factory.
+
+    `tpu_default_options`: per-program compiler options applied ONLY when
+    the backend is TPU (resolved lazily at first call, so CPU tests and
+    TPU-only option names coexist); env options merge on top and win.
+    This exists because good options are PROGRAM-SPECIFIC: the
+    experimental fusion cost model is +2% on the sampler but −33% on the
+    iresnet embed program (perf/r3p_options.jsonl, perf/r3r_fcm.jsonl) —
+    there is deliberately no global default.
     """
     if fn is None:
-        return lambda f: jit(f, **jit_kwargs)
+        return lambda f: jit(f, tpu_default_options=tpu_default_options,
+                             **jit_kwargs)
+    if tpu_default_options:
+        return _LazyJit(fn, tpu_default_options, jit_kwargs)
     opts = compiler_options_from_env()
     if opts:
         jit_kwargs.setdefault("compiler_options", opts)
     return jax.jit(fn, **jit_kwargs)
+
+
+class _LazyJit:
+    """Defers jax.jit until first call so the backend check (TPU vs CPU)
+    happens after the test harness / sitecustomize has pinned the platform.
+    Delegates everything else (e.g. `_cache_size`) to the jitted callable."""
+
+    def __init__(self, fn, tpu_default_options, jit_kwargs):
+        self._fn = fn
+        self._defaults = dict(tpu_default_options)
+        self._kw = jit_kwargs
+        self._jitted = None
+        self.__wrapped__ = fn
+
+    def _resolve(self):
+        if self._jitted is None:
+            opts = dict(self._defaults) if jax.default_backend() == "tpu" else {}
+            opts.update(compiler_options_from_env() or {})
+            kw = dict(self._kw)
+            if opts:
+                kw["compiler_options"] = opts
+            self._jitted = jax.jit(self._fn, **kw)
+        return self._jitted
+
+    def __call__(self, *args, **kwargs):
+        return self._resolve()(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._resolve(), name)

@@ -39,10 +39,16 @@ class SamplerModels:
 
 
 @functools.partial(
-    # core.compile.jit: forwards env-selected XLA compiler options (e.g.
-    # TPU_SCOPED_VMEM_KIB — read at import time) through the per-compile
-    # options proto; identical to jax.jit when no options are set.
+    # core.compile.jit: forwards env-selected XLA compiler options through
+    # the per-compile options proto (the only flag path that reaches the
+    # remote TPU compiler). The experimental fusion cost model is a
+    # measured sampler-specific win (+2%: 2.084 vs 2.043 img/s,
+    # perf/r3p_options.jsonl) and is on by default on TPU only — it
+    # REGRESSES the iresnet embed program 33%, so it must not leak into
+    # other programs. Env XLA_COMPILER_OPTIONS overrides (set the key to
+    # "false" to disable).
     _options_jit,
+    tpu_default_options={"xla_tpu_enable_experimental_fusion_cost_model": "true"},
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
         "decode_chunk",

@@ -77,3 +77,25 @@ def test_flash_kernel_vmem_budget(monkeypatch):
     assert params.vmem_limit_bytes == 48 * 1024 * 1024
     # interpret mode (CPU tests) never sets compiler params
     assert fa._kernel_compiler_params(4096, 4096, interpret=True) is None
+
+
+def test_tpu_default_options_lazy(monkeypatch):
+    """jit(tpu_default_options=…) resolves lazily: on CPU the TPU-only
+    option must NOT be passed (it would fail the CPU compiler), attributes
+    like _cache_size delegate, and env options merge on top."""
+    monkeypatch.delenv("XLA_COMPILER_OPTIONS", raising=False)
+    monkeypatch.delenv("TPU_SCOPED_VMEM_KIB", raising=False)
+
+    calls = []
+
+    @cc.jit(tpu_default_options={"xla_tpu_only_thing": "true"},
+            static_argnames=("n",))
+    def f(x, n):
+        calls.append(1)
+        return x * n
+
+    # CPU backend: option dropped, call works, cache delegation works
+    assert float(f(jnp.float32(2.0), n=3)) == 6.0
+    assert f._cache_size() == 1
+    assert float(f(jnp.float32(4.0), n=3)) == 12.0
+    assert f._cache_size() == 1 and len(calls) == 1  # no retrace
