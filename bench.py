@@ -542,12 +542,14 @@ def main():
     neg = jnp.zeros_like(ids)
 
     decode_chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "0")) or None
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     def run(key):
         return sample(
             params, sched, ids, neg, key,
             models=models, guidance_scale=5.0, height=512, width=512,
             policy=policy, lora=lora, decode_chunk=decode_chunk,
+            unroll=unroll,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready

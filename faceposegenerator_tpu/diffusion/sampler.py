@@ -51,7 +51,7 @@ class SamplerModels:
     tpu_default_options={"xla_tpu_enable_experimental_fusion_cost_model": "true"},
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
-        "decode_chunk",
+        "decode_chunk", "unroll",
     ),
 )
 def sample(
@@ -71,6 +71,7 @@ def sample(
     lora_scale: float | jax.Array = 1.0,
     noise_override: Optional[jax.Array] = None,
     decode_chunk: Optional[int] = None,
+    unroll: int = 1,
 ) -> jax.Array:
     """Generate images.
 
@@ -131,7 +132,17 @@ def sample(
             x, _ = schedule.step(eps, i, x, noise)
             return x
 
-        x = jax.lax.fori_loop(0, S, body, x)
+        if unroll > 1:
+            # scan with unroll>1 exposes `unroll` consecutive denoise steps
+            # to the scheduler at once (cross-step overlap of the step's
+            # elementwise math with the next UNet's first DMAs) at the cost
+            # of an `unroll`× larger loop body to compile
+            x, _ = jax.lax.scan(
+                lambda c, i: (body(i, c), None), x, jnp.arange(S),
+                unroll=unroll,
+            )
+        else:
+            x = jax.lax.fori_loop(0, S, body, x)
 
     elif scheduler == "dpm":
 

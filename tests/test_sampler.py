@@ -63,6 +63,21 @@ def test_sampler_deterministic_given_key():
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+def test_sampler_unroll_matches_fori_loop():
+    """`unroll>1` (scan-unrolled denoise loop, BENCH_UNROLL) is a pure
+    scheduling change: same step math, same PRNG stream, same result up to
+    fusion-order rounding."""
+    params = _tiny_params()
+    sched = make_ddpm(num_inference_steps=5)  # non-divisible by unroll=2
+    ids = jax.random.randint(jax.random.key(3), (2, 77), 0, 128)
+    neg = jnp.zeros_like(ids)
+    a = sample(params, sched, ids, neg, jax.random.key(11), models=TINY,
+               height=64, width=64, policy=PARITY_POLICY)
+    b = sample(params, sched, ids, neg, jax.random.key(11), models=TINY,
+               height=64, width=64, policy=PARITY_POLICY, unroll=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_sampler_noise_override_reproduces_prng_path():
     """Injecting the same noise tensors gives identical output — the
     parity-testing mechanism."""
