@@ -69,28 +69,57 @@ def bench_train(batch: int, repeats: int):
 
     opt = idbooth.make_optimizer(cfg, total_steps=1000)
     opt_state = opt.init(trainable)
-    step = idbooth.make_train_step(cfg, bundle, opt, policy=policy, donate=False)
-    batch_data = {
-        "pixel_values": jax.random.uniform(jax.random.key(5), (2 * batch, 512, 512, 3), minval=-1, maxval=1),
-        "input_ids": jax.random.randint(jax.random.key(6), (2 * batch, 77), 0, 49408),
-        "gt_embeds": jax.random.normal(jax.random.key(7), (2 * batch, 512)),
-    }
-    t2, o2, m = step(trainable, opt_state, frozen, batch_data, jax.random.key(0))
-    float(m["loss"])  # axon: block_until_ready can return early; force a host fetch
+
+    def make_batch(seed):
+        return {
+            "pixel_values": jax.random.uniform(jax.random.key(seed), (2 * batch, 512, 512, 3), minval=-1, maxval=1),
+            "input_ids": jax.random.randint(jax.random.key(seed + 1), (2 * batch, 77), 0, 49408),
+            "gt_embeds": jax.random.normal(jax.random.key(seed + 2), (2 * batch, 512)),
+        }
+
+    # BENCH_VMAP_IDS=K: K identities' fine-tunes vmapped into one program
+    # (training.multi_identity) — per-identity bs stays `batch`, the convs
+    # see K× that, aggregate img/s is reported. K=1 is the classic path.
+    vmap_ids = int(os.environ.get("BENCH_VMAP_IDS", "1"))
+    if vmap_ids > 1:
+        from faceposegenerator_tpu.training import multi_identity
+
+        step = multi_identity.make_multi_train_step(
+            cfg, bundle, opt, policy=policy, donate=False
+        )
+        trainable = multi_identity.stack_pytrees([trainable] * vmap_ids)
+        opt_state = multi_identity.stack_pytrees([opt_state] * vmap_ids)
+        batch_data = multi_identity.stack_pytrees(
+            [make_batch(5 + 3 * i) for i in range(vmap_ids)]
+        )
+        keyify = lambda i: jnp.stack(
+            [jax.random.key(1000 * k + i) for k in range(vmap_ids)]
+        )
+        fetch = lambda m: float(jnp.sum(m["loss"]))
+    else:
+        step = idbooth.make_train_step(cfg, bundle, opt, policy=policy, donate=False)
+        batch_data = make_batch(5)
+        keyify = jax.random.key
+        fetch = lambda m: float(m["loss"])
+
+    t2, o2, m = step(trainable, opt_state, frozen, batch_data, keyify(0))
+    fetch(m)  # axon: block_until_ready can return early; force a host fetch
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        t2, o2, m = step(t2, o2, frozen, batch_data, jax.random.key(i))
-        float(m["loss"])
+        t2, o2, m = step(t2, o2, frozen, batch_data, keyify(i))
+        fetch(m)
         times.append(time.perf_counter() - t0)
     best = min(times)
+    imgs = batch * vmap_ids
     return {
         "metric": f"ID-Booth train imgs/sec/chip 512x512 loss={which_loss or 'mse'} bs{batch}(+prior)"
         + (" remat" if remat else "") + (" remat_id" if remat_id else "")
-        + (f" id_chunk{id_chunk}" if id_chunk else ""),
-        "value": round(batch / best, 3),
+        + (f" id_chunk{id_chunk}" if id_chunk else "")
+        + (f" vmap_ids{vmap_ids}" if vmap_ids > 1 else ""),
+        "value": round(imgs / best, 3),
         "unit": "img/s",
-        "vs_baseline": round(batch / best, 3),
+        "vs_baseline": round(imgs / best, 3),
         "extra": {"step_s": round(best, 3), "device": str(jax.devices()[0])},
     }
 

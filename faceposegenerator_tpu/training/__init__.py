@@ -1,1 +1,2 @@
 from . import idbooth
+from . import multi_identity

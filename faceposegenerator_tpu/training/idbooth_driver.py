@@ -259,9 +259,20 @@ def run_experiment_sweep(
     embeds_root: Optional[str] = None,
     class_dir: Optional[str] = None,
     identities: Optional[List[str]] = None,
+    vmap_identities: int = 1,
     **kw,
 ):
-    """losses_to_test × identities sweep (`train_ID-Booth.py:1287-1334`)."""
+    """losses_to_test × identities sweep (`train_ID-Booth.py:1287-1334`).
+
+    `vmap_identities=K` trains identities in vmapped groups of K (ONE
+    compiled program per group; see `training.multi_identity`) instead of
+    serially — per-identity semantics and on-disk artifacts are unchanged,
+    but the convs see batch K×(inst+prior), which is the difference between
+    25% and 55% MFU at the reference's tiny per-identity batch (STATUS.md
+    train roofline). Identities are grouped by dataset-size quotient so
+    each group shares one steps_per_epoch/LR schedule; ragged leftovers
+    fall back to serial `run_identity`.
+    """
     from ..data.dreambooth import _natural_key
 
     if identities is None:
@@ -276,7 +287,49 @@ def run_experiment_sweep(
         run_root = os.path.join(output_folder, folder)
         os.makedirs(run_root, exist_ok=True)
         snapshot_config(run_cfg, run_root)
-        for ident in identities:
+        serial: List[str] = []
+        if vmap_identities > 1:
+            from .multi_identity import run_identities_vmapped
+
+            # group identities whose datasets yield the same steps/epoch
+            # (dataset length = max(instance, class) — the DreamBooth
+            # shorter-side-cycling semantics, data/dreambooth.py)
+            from ..data.dreambooth import list_images
+
+            n_class = (
+                len(list_images(class_dir))
+                if class_dir and run_cfg.with_prior_preservation else 0
+            )
+            by_spe: Dict[int, List[str]] = {}
+            for ident in identities:
+                n_img = len(list_images(os.path.join(source_folder, ident)))
+                length = max(n_img, n_class or 1)
+                by_spe.setdefault(length // run_cfg.train_batch_size, []).append(ident)
+            for group_ids in by_spe.values():
+                while len(group_ids) >= vmap_identities:
+                    grp, group_ids = (
+                        group_ids[:vmap_identities], group_ids[vmap_identities:]
+                    )
+                    _, hists = run_identities_vmapped(
+                        run_cfg, bundle, frozen,
+                        instance_dirs=[os.path.join(source_folder, g) for g in grp],
+                        output_dirs=[os.path.join(run_root, g) for g in grp],
+                        tokenizer=tokenizer,
+                        embeds_dirs=[
+                            os.path.join(embeds_root, g) if embeds_root else None
+                            for g in grp
+                        ],
+                        class_dir=class_dir,
+                        **{k: v for k, v in kw.items()
+                           if k in ("policy", "detect_fn", "resume",
+                                    "instance_ids", "class_ids", "logger")},
+                    )
+                    for g, h in zip(grp, hists):
+                        results[(which_loss, g)] = h
+                serial.extend(group_ids)
+        else:
+            serial = list(identities)
+        for ident in serial:
             out = os.path.join(run_root, ident)
             _, history = run_identity(
                 run_cfg, bundle, frozen,

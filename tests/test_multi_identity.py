@@ -1,0 +1,233 @@
+"""Multi-identity vmapped training: K concurrent fine-tunes must be exactly
+K independent fine-tunes (per-identity LoRA/optimizer/loss, no cross-talk),
+and the driver must keep the per-identity artifact contract."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceposegenerator_tpu.core.precision import PARITY_POLICY
+from faceposegenerator_tpu.models import clip_text, unet2d, vae, iresnet
+from faceposegenerator_tpu.training import idbooth, idbooth_driver, multi_identity
+
+
+TINY = idbooth.ModelBundle(
+    text_cfg=clip_text.CLIPTextConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64
+    ),
+    unet_cfg=unet2d.UNetConfig(
+        block_out_channels=(32, 64, 64, 64), cross_attention_dim=32, head_dim=8
+    ),
+    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32, 32, 32)),
+    arcface_cfg=iresnet.config_for("r18", num_features=64),
+)
+
+
+def _frozen():
+    ap, ast = iresnet.init(jax.random.key(3), TINY.arcface_cfg)
+    return {
+        "text_encoder": clip_text.init(jax.random.key(0), TINY.text_cfg),
+        "unet": unet2d.init(jax.random.key(1), TINY.unet_cfg),
+        "vae": vae.init(jax.random.key(2), TINY.vae_cfg),
+        "arcface": {"params": ap, "state": ast},
+    }
+
+
+def _batch(seed, n=2, res=64):
+    return {
+        "pixel_values": jax.random.uniform(
+            jax.random.key(seed), (n, res, res, 3), minval=-1, maxval=1
+        ),
+        "input_ids": jax.random.randint(jax.random.key(seed + 1), (n, 77), 0, 64),
+        "gt_embeds": jax.random.normal(jax.random.key(seed + 2), (n, 64)),
+    }
+
+
+def _rel_l2_close(tree_a, tree_b, tol):
+    for x, y in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        nx = np.linalg.norm(x)
+        if nx < 1e-12:  # exactly-zero leaves (e.g. LoRA-A grads while B=0)
+            assert np.linalg.norm(y) < 1e-9, (x.shape, np.linalg.norm(y))
+        else:
+            assert np.linalg.norm(x - y) / nx < tol, (x.shape, np.linalg.norm(x - y) / nx)
+
+
+def test_multi_step_matches_independent_runs():
+    """Two vmapped steps over K=2 identities == two serial steps per
+    identity: same gradients (the no-cross-talk invariant, tight) and same
+    LoRA leaves after the optimizer (loose — see below)."""
+    from faceposegenerator_tpu.diffusion import make_ddpm
+
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=64)
+    frozen = _frozen()
+    opt = idbooth.make_optimizer(cfg, total_steps=4)
+
+    t0 = idbooth.init_trainable(jax.random.key(cfg.seed), cfg, TINY, frozen["unet"])
+    o0 = opt.init(t0)
+
+    batches = {0: [_batch(10), _batch(20)], 1: [_batch(30), _batch(40)]}
+    keys = [jax.random.key(5), jax.random.key(6)]
+
+    # NO-CROSS-TALK invariant, tested exactly: identity 0's vmapped grads
+    # must be BIT-IDENTICAL when identity 1's batch/key change (same program,
+    # same lane-0 inputs — any delta could only arrive through leakage).
+    # A vmap-vs-serial grad comparison CANNOT pin this: under the test env's
+    # 8-virtual-device CPU backend, even serial-eager vs serial-JITTED grads
+    # of this loss differ by ~2e-2 rel on the rank-4 B leaves (measured —
+    # different program ⇒ different f32 reduction splits, amplified ~1e4×
+    # through the UNet backprop), so tight serial equivalence is below the
+    # noise floor of the comparison, not of the implementation.
+    loss_fn = idbooth.make_loss_fn(cfg, TINY, make_ddpm(), policy=PARITY_POLICY)
+    gfn = jax.value_and_grad(loss_fn, has_aux=True)
+    vg = jax.jit(jax.vmap(gfn, in_axes=(0, None, 0, 0)))
+    ts0 = multi_identity.stack_pytrees([t0, t0])
+    ks0 = jnp.stack([jax.random.fold_in(keys[0], 0), jax.random.fold_in(keys[1], 0)])
+    (_, _), vgrads = vg(
+        ts0, frozen,
+        multi_identity.stack_pytrees([batches[0][0], batches[1][0]]), ks0,
+    )
+    (_, _), vgrads_pert = vg(
+        ts0, frozen,
+        multi_identity.stack_pytrees([batches[0][0], batches[1][1]]),
+        jnp.stack([jax.random.fold_in(keys[0], 0), jax.random.fold_in(keys[1], 7)]),
+    )
+    for x, y in zip(jax.tree.leaves(vgrads), jax.tree.leaves(vgrads_pert)):
+        np.testing.assert_array_equal(np.asarray(x[0]), np.asarray(y[0]))  # exact
+        assert not np.array_equal(np.asarray(x[1]), np.asarray(y[1])) or (
+            np.asarray(x[1]) == 0
+        ).all()  # lane 1 genuinely saw different inputs
+    # loose semantic sanity vs serial (2.3e-2 measured env noise floor)
+    for i in (0, 1):
+        (_, _), g_i = gfn(t0, frozen, batches[i][0], jax.random.fold_in(keys[i], 0))
+        _rel_l2_close(g_i, jax.tree.map(lambda x: x[i], vgrads), 5e-2)
+
+    # serial reference: each identity independently
+    step = idbooth.make_train_step(cfg, TINY, opt, policy=PARITY_POLICY, donate=False)
+    serial_t, serial_m = [], []
+    for i in (0, 1):
+        t, o = t0, o0
+        for s in (0, 1):
+            t, o, m = step(t, o, frozen, batches[i][s], jax.random.fold_in(keys[i], s))
+        serial_t.append(t)
+        serial_m.append(m)
+
+    # vmapped: both identities in one program; run TWICE with identity 1's
+    # data/keys changed — identity 0's trainables AND optimizer state after
+    # two full steps must be BIT-IDENTICAL (end-to-end no-cross-talk through
+    # loss, grads, Adam state and the update)
+    multi = multi_identity.make_multi_train_step(
+        cfg, TINY, opt, policy=PARITY_POLICY, donate=False
+    )
+
+    def run_multi(alt_lane1: bool):
+        ts = multi_identity.stack_pytrees([t0, t0])
+        os_ = multi_identity.stack_pytrees([o0, o0])
+        for s in (0, 1):
+            b1 = batches[1][1 - s] if alt_lane1 else batches[1][s]
+            k1 = jax.random.fold_in(keys[1], 5 + s) if alt_lane1 else jax.random.fold_in(keys[1], s)
+            bs = multi_identity.stack_pytrees([batches[0][s], b1])
+            ks = jnp.stack([jax.random.fold_in(keys[0], s), k1])
+            ts, os_, metrics = multi(ts, os_, frozen, bs, ks)
+        return ts, os_, metrics
+
+    ts, os_, metrics = run_multi(alt_lane1=False)
+    ts_alt, os_alt, _ = run_multi(alt_lane1=True)
+    for x, y in zip(jax.tree.leaves((ts, os_)), jax.tree.leaves((ts_alt, os_alt))):
+        np.testing.assert_array_equal(np.asarray(x[0]), np.asarray(y[0]))
+
+    got = multi_identity.unstack_pytree(ts, 2)
+    # serial-vs-vmap sanity is necessarily LOOSE: Adam whitens grads (every
+    # element's update is ~lr regardless of |g|), so elements with tiny |g|
+    # inherit huge RELATIVE cross-program f32 noise (the 2.3e-2 norm-level
+    # floor measured above becomes >1e-1 on the post-optimizer B leaves).
+    # Cross-talk is pinned exactly by the bit-identity checks, not by this.
+    for i in (0, 1):
+        _rel_l2_close(serial_t[i], got[i], 0.3)
+        np.testing.assert_allclose(
+            float(metrics["loss"][i]), float(serial_m[i]["loss"]), rtol=1e-4
+        )
+    # the two identities genuinely diverged (different data streams)
+    a = jax.tree.leaves(got[0])
+    b = jax.tree.leaves(got[1])
+    assert any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+def _identity_tree(tmp_path, names, n=2, res=64):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "src"
+    cls = tmp_path / "class"
+    cls.mkdir(parents=True)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (res, res, 3), np.uint8)).save(cls / f"{i}.jpg")
+    for name in names:
+        d = src / name
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (res, res, 3), np.uint8)).save(d / f"{i}.jpg")
+    return str(src), str(cls)
+
+
+def test_run_identities_vmapped_driver_matches_serial(tmp_path):
+    src, cls = _identity_tree(tmp_path, ["id_1", "id_2"])
+    cfg = idbooth.IDBoothConfig(
+        which_loss="triplet_prior", resolution=64, num_train_epochs=2,
+        checkpointing_epochs=1, validation_epochs=99, train_batch_size=1,
+    )
+    frozen = _frozen()
+    ids = np.arange(77, dtype=np.int32)
+
+    t_list, hists = multi_identity.run_identities_vmapped(
+        cfg, TINY, frozen,
+        instance_dirs=[os.path.join(src, "id_1"), os.path.join(src, "id_2")],
+        output_dirs=[str(tmp_path / "vm" / "id_1"), str(tmp_path / "vm" / "id_2")],
+        class_dir=cls, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids,
+    )
+    assert len(t_list) == 2 and len(hists) == 2 and len(hists[0]) == 2
+    # per-identity artifact contract: checkpoints + final safetensors export
+    for name in ("id_1", "id_2"):
+        files = sorted(os.listdir(tmp_path / "vm" / name))
+        assert any(f.startswith("checkpoint-0-") for f in files)
+        assert any(f.startswith("checkpoint-1-") for f in files)
+        assert "pytorch_lora_weights.safetensors" in files
+
+    # drop-in semantics: identity 1's LoRA == the serial run_identity result
+    # (same seed, same data order, same noise stream)
+    serial_t, serial_h = idbooth_driver.run_identity(
+        cfg, TINY, frozen,
+        instance_dir=os.path.join(src, "id_1"),
+        output_dir=str(tmp_path / "serial" / "id_1"),
+        class_dir=cls, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids,
+    )
+    _rel_l2_close(serial_t, t_list[0], 0.3)  # loose: see noise-floor note above
+    np.testing.assert_allclose(
+        hists[0][-1]["loss"], serial_h[-1]["loss"], rtol=1e-3
+    )
+
+
+def test_sweep_vmapped_grouping(tmp_path):
+    """run_experiment_sweep(vmap_identities=2): equal-size identities train
+    in one vmapped group; ragged leftovers fall back to serial."""
+    src, cls = _identity_tree(tmp_path, ["id_1", "id_2", "id_3"])
+    cfg = idbooth.IDBoothConfig(
+        which_loss="triplet_prior", resolution=64, num_train_epochs=1,
+        checkpointing_epochs=1, validation_epochs=99, train_batch_size=1,
+        losses_to_test=("triplet_prior",),
+    )
+    frozen = _frozen()
+    ids = np.arange(77, dtype=np.int32)
+    results = idbooth_driver.run_experiment_sweep(
+        cfg, TINY, frozen, src, str(tmp_path / "out"),
+        class_dir=cls, vmap_identities=2, policy=PARITY_POLICY,
+        instance_ids=ids, class_ids=ids,
+    )
+    assert set(results) == {("triplet_prior", f"id_{i}") for i in (1, 2, 3)}
+    for name in ("id_1", "id_2", "id_3"):
+        files = os.listdir(tmp_path / "out" / "ID-Booth" / name)
+        assert "pytorch_lora_weights.safetensors" in files
