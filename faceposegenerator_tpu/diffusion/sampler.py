@@ -89,6 +89,17 @@ def sample(
     h, w = height // 8, width // 8
     S = schedule.num_inference_steps
 
+    # --- per-request adapters (heterogeneous-LoRA batching) ----------------
+    # lora leaves may carry a leading request axis (B, r, in)/(B, out, r)
+    # (multi-tenant serving: slot b rides adapter b; `ops.lora.lora_delta`).
+    # The CFG batch is [uncond; cond], so adapters (and a per-request (B,)
+    # lora_scale) tile ×2 to line up slot b with rows b and B+b.
+    lora_leaves = [] if lora is None else jax.tree.leaves(lora)
+    if lora_leaves and lora_leaves[0].ndim == 3:
+        lora = jax.tree.map(lambda l: jnp.concatenate([l, l], axis=0), lora)
+        if isinstance(lora_scale, jax.Array) and lora_scale.ndim == 1:
+            lora_scale = jnp.concatenate([lora_scale, lora_scale], axis=0)
+
     # --- text conditioning: [uncond; cond] in one batch (CFG pair) ---------
     ids = jnp.concatenate([negative_input_ids, input_ids], axis=0)
     ctx = clip_text.apply(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..ops.attention import dot_product_attention
 from ..ops.norms import group_norm, layer_norm
-from ..ops.lora import lora_dense
+from ..ops.lora import broadcast_scale, lora_delta, lora_dense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -331,9 +331,8 @@ def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="
                 la = lora.get(name)
                 if la is None:
                     return base
-                h = jnp.einsum("...i,ri->...r", x, la["a"].astype(x.dtype))
-                d = jnp.einsum("...r,or->...o", h, la["b"].astype(x.dtype))
-                return base + lora_scale * d
+                d = lora_delta(x, la["a"], la["b"])
+                return base + (broadcast_scale(lora_scale, d.ndim) * d).astype(base.dtype)
 
             q, k, v = delta("q", q), delta("k", k), delta("v", v)
         q = q.reshape(b, s, nh, head_dim)

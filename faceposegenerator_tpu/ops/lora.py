@@ -20,6 +20,30 @@ import jax
 import jax.numpy as jnp
 
 
+def broadcast_scale(scale, ndim: int):
+    """A per-sample scale vector (B,) broadcast against a (B, ..., out)
+    delta; scalars pass through."""
+    if isinstance(scale, jax.Array) and scale.ndim == 1:
+        return scale.reshape((-1,) + (1,) * (ndim - 1))
+    return scale
+
+
+def lora_delta(x: jax.Array, lora_a: jax.Array, lora_b: jax.Array) -> jax.Array:
+    """Factored LoRA delta (x·Aᵀ)·Bᵀ, unscaled.
+
+    lora_a: (r, in) / lora_b: (out, r) — one adapter for the whole batch; or
+    (B, r, in) / (B, out, r) — PER-SAMPLE adapters (heterogeneous-LoRA
+    batching: slot b of x uses adapter b; x's leading dim must be B). The
+    batched form is two tiny rank-r batched GEMMs — the multi-tenant serving
+    path pays ~nothing over the shared-adapter form.
+    """
+    if lora_a.ndim == 3:
+        h = jnp.einsum("b...i,bri->b...r", x, lora_a.astype(x.dtype), preferred_element_type=jnp.float32)
+        return jnp.einsum("b...r,bor->b...o", h.astype(x.dtype), lora_b.astype(x.dtype), preferred_element_type=jnp.float32)
+    h = jnp.einsum("...i,ri->...r", x, lora_a.astype(x.dtype), preferred_element_type=jnp.float32)
+    return jnp.einsum("...r,or->...o", h.astype(x.dtype), lora_b.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
 def lora_dense(
     x: jax.Array,
     w: jax.Array,
@@ -31,13 +55,13 @@ def lora_dense(
     """Dense layer with optional factored LoRA delta.
 
     w: (out, in) — torch Linear orientation, kept so diffusers/peft
-    checkpoints map 1:1. lora_a: (r, in), lora_b: (out, r).
+    checkpoints map 1:1. lora_a: (r, in), lora_b: (out, r) — or per-sample
+    (B, r, in)/(B, out, r) with a (B,) scale (see `lora_delta`).
     """
     y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if lora_a is not None and lora_b is not None:
-        h = jnp.einsum("...i,ri->...r", x, lora_a.astype(x.dtype), preferred_element_type=jnp.float32)
-        d = jnp.einsum("...r,or->...o", h.astype(x.dtype), lora_b.astype(x.dtype), preferred_element_type=jnp.float32)
-        y = y + scale * d
+        d = lora_delta(x, lora_a, lora_b)
+        y = y + broadcast_scale(scale, d.ndim) * d
     y = y.astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)

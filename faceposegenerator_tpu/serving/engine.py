@@ -12,7 +12,10 @@ around three invariants:
 2. **LoRA hot-swap without recompile**: adapters are factored fixed-rank
    pytrees with identical structure (CLAUDE.md invariant), so switching the
    active identity checkpoint between batches is a pure weight swap.
-   Batches group contiguous same-LoRA requests from the queue front.
+   Batches group contiguous same-LoRA requests from the queue front — or,
+   with `multi_lora=True`, every slot carries its OWN adapter (leaves
+   stacked to a leading request axis, applied per-sample by
+   `ops.lora.lora_delta`), so mixed-identity traffic packs full batches.
 3. **Per-request determinism under batching**: each request's noise is
    generated from its own seed into the sampler's `noise_override` tensor
    (the parity-injection mechanism, `diffusion/sampler.py:62`), so the
@@ -108,6 +111,7 @@ class SamplerServer:
         max_queue: Optional[int] = None,
         request_timeout_s: Optional[float] = None,
         mesh=None,
+        multi_lora: bool = False,
     ):
         """`mesh`: optional `jax.sharding.Mesh` — serve DATA-PARALLEL: the
         request batch is sharded over the mesh "data" axis, params/LoRAs
@@ -117,9 +121,20 @@ class SamplerServer:
         only on the request seed; results are exactly reproducible within a
         placement, and match single-device serving up to bf16 quantization
         jitter since the sharded program fuses/reduces differently).
-        batch_size must divide the data-axis size."""
+        batch_size must divide the data-axis size.
+
+        `multi_lora=True` serves HETEROGENEOUS batches: every request slot
+        carries its OWN adapter (leaves stacked to a leading request axis,
+        applied per-sample by `ops.lora.lora_delta`), so mixed-identity
+        traffic fills every batch instead of fragmenting into per-LoRA
+        batches. Batching becomes straight FIFO (no same-LoRA scan), and the
+        stacked-adapter program is compiled ONCE — uniform batches ride the
+        same program with the adapter repeated per slot. Stacked trees are
+        cached per batch composition (LRU) so steady traffic pays no
+        per-batch tree restacking."""
         self.pipe = pipe
         self.mesh = mesh
+        self.multi_lora = multi_lora
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
 
@@ -153,6 +168,11 @@ class SamplerServer:
         # default device; every batch reuses the same buffers
         self._params = pipe.params if mesh is None else self._replicate(pipe.params)
         self._loras: Dict[Optional[str], tuple] = {None: (self._zero_lora(), 1.0)}
+        # multi_lora: stacked adapter trees per batch composition, LRU-bounded
+        # (jnp.stack of ~100s of rank-4 leaves is cheap but not free on a
+        # 25 ms-RTT dispatch path — steady compositions should hit cache)
+        self._stack_cache: "collections.OrderedDict[tuple, tuple]" = collections.OrderedDict()
+        self._stack_cache_max = 32
         # deque + condition (not queue.Queue): batch collection scans for
         # same-LoRA requests IN PLACE, so non-matching requests keep their
         # arrival position — re-queueing them at the tail would let a
@@ -204,7 +224,9 @@ class SamplerServer:
             self.pipe.params["unet"], self.pipe.params["text_encoder"],
             rank=self.lora_rank, dtype=self.pipe.policy.param_dtype,
         )
-        return tree if self.mesh is None else self._replicate(tree)
+        # multi_lora keeps single trees unplaced: the STACKED tree is what
+        # gets placed (sharded over "data" under a mesh), per composition
+        return tree if (self.mesh is None or self.multi_lora) else self._replicate(tree)
 
     def register_lora(self, name: str, path_or_tree, scale: float = 1.0):
         """Register a diffusers-format checkpoint dir (or a prebuilt lora
@@ -240,9 +262,11 @@ class SamplerServer:
                 "recompile; construct SamplerServer with a matching lora_rank "
                 "or convert the checkpoint to the server's rank"
             )
-        if self.mesh is not None:
+        if self.mesh is not None and not self.multi_lora:
             tree = self._replicate(tree)  # placed once, reused every batch
         self._loras[name] = (tree, scale)
+        # compositions built from a replaced adapter are stale
+        self._stack_cache.clear()
 
     # -- request path ---------------------------------------------------------
 
@@ -307,6 +331,34 @@ class SamplerServer:
 
     # -- worker ---------------------------------------------------------------
 
+    def _stacked_lora(self, lora_ids: tuple):
+        """(tree, scale_vec) for a heterogeneous batch: leaves stacked to a
+        leading request axis (B, r, in)/(B, out, r), scale as (B,) f32.
+        LRU-cached per composition; sharded over "data" under a mesh so slot
+        b's adapter lands with slot b's prompt rows."""
+        hit = self._stack_cache.get(lora_ids)
+        if hit is not None:
+            self._stack_cache.move_to_end(lora_ids)
+            return hit
+        pairs = [self._loras[i] for i in lora_ids]
+        tree = jax.tree.map(lambda *xs: jnp.stack(xs), *[t for t, _ in pairs])
+        scale = jnp.asarray([s for _, s in pairs], jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..core.mesh import DATA_AXIS
+
+            tree = jax.device_put(tree, NamedSharding(self.mesh, P(DATA_AXIS)))
+            scale = jax.device_put(scale, NamedSharding(self.mesh, P(DATA_AXIS)))
+        self._stack_cache[lora_ids] = (tree, scale)
+        while len(self._stack_cache) > self._stack_cache_max:
+            self._stack_cache.popitem(last=False)
+        return tree, scale
+
+    def _take_front(self, limit: int):
+        """FIFO pop (multi_lora mode: every request matches every batch)."""
+        return [self._pending.popleft() for _ in range(min(limit, len(self._pending)))]
+
     def _take_matching(self, lora_id, limit: int):
         """Remove up to `limit` pending requests with this lora_id, scanning
         IN PLACE so non-matching requests keep their arrival order (FIFO
@@ -339,14 +391,19 @@ class SamplerServer:
         self._pending = kept
 
     def _collect_batch(self):
-        """Oldest pending request + same-LoRA followers, up to batch_size;
-        waits up to max_wait_s for stragglers to fill the batch."""
+        """Oldest pending request + same-LoRA followers (or ANY followers in
+        multi_lora mode), up to batch_size; waits up to max_wait_s for
+        stragglers to fill the batch."""
         with self._pending_cv:
             self._expire_deadlined_locked()
             if not self._pending_cv.wait_for(lambda: self._pending, timeout=0.1):
                 return None
-            lora_id = self._pending[0][0].lora_id
-            batch = self._take_matching(lora_id, self.batch_size)
+            if self.multi_lora:
+                take = self._take_front
+            else:
+                lora_id = self._pending[0][0].lora_id
+                take = functools.partial(self._take_matching, lora_id)
+            batch = take(self.batch_size)
             deadline = time.perf_counter() + self.max_wait_s
             while len(batch) < self.batch_size:
                 timeout = deadline - time.perf_counter()
@@ -359,7 +416,7 @@ class SamplerServer:
                     lambda: len(self._pending) > seen, timeout=timeout
                 ):
                     break
-                batch.extend(self._take_matching(lora_id, self.batch_size - len(batch)))
+                batch.extend(take(self.batch_size - len(batch)))
         return batch
 
     def _run(self):
@@ -405,7 +462,12 @@ class SamplerServer:
         neg = pipe.tokenize([r.negative_prompt for r in padded])
         noise = self._per_request_noise([r.seed for r in padded])
         ids, neg, noise = self._shard_inputs(ids, neg, noise)
-        lora_tree, lora_scale = self._loras[reqs[0].lora_id]
+        if self.multi_lora:
+            lora_tree, lora_scale = self._stacked_lora(
+                tuple(r.lora_id for r in padded)
+            )
+        else:
+            lora_tree, lora_scale = self._loras[reqs[0].lora_id]
 
         images = sample(
             self._params, self._schedule, ids, neg, sampler_key(0),
