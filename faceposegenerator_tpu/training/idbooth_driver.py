@@ -322,7 +322,8 @@ def run_experiment_sweep(
                         class_dir=class_dir,
                         **{k: v for k, v in kw.items()
                            if k in ("policy", "detect_fn", "resume",
-                                    "instance_ids", "class_ids", "logger")},
+                                    "instance_ids", "class_ids", "logger",
+                                    "mesh")},
                     )
                     for g, h in zip(grp, hists):
                         results[(which_loss, g)] = h

@@ -51,6 +51,23 @@ def stack_pytrees(trees: Sequence):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
+def shard_identity_axis(mesh, tree):
+    """Place stacked per-identity pytrees with the leading identity axis
+    sharded over the mesh "data" axis.
+
+    Identities are INDEPENDENT programs, so this data-parallelizes the
+    experiment sweep with ZERO gradient collectives — unlike batch-DP of a
+    single identity, where every step all-reduces the grads. jit infers the
+    sharded vmapped step from the input placement alone.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.mesh import DATA_AXIS
+
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
 def unstack_pytree(tree, k: int) -> List:
     """Inverse of `stack_pytrees`: split the leading identity axis."""
     return [jax.tree.map(lambda x: x[i], tree) for i in range(k)]
@@ -109,6 +126,7 @@ def run_identities_vmapped(
     instance_ids: Optional[np.ndarray] = None,
     class_ids: Optional[np.ndarray] = None,
     logger=None,
+    mesh=None,
 ) -> Tuple[List[Dict], List[List[Dict]]]:
     """Fine-tune K identities concurrently; returns (trainables, histories).
 
@@ -119,6 +137,10 @@ def run_identities_vmapped(
     epoch (same image count quotient) so they share one LR schedule/compiled
     program — the driver-side `run_experiment_sweep(vmap_identities=…)`
     groups identities accordingly.
+
+    `mesh`: optional `jax.sharding.Mesh` — the identity axis shards over
+    "data" (`shard_identity_axis`), frozen base weights replicate once; K
+    must divide the data-axis size. Zero collectives in the step.
     """
     from ..core.checkpointing import CheckpointManager
     from ..core.logging_utils import setup_logging, ThroughputLogger
@@ -188,6 +210,18 @@ def run_identities_vmapped(
         )
     trainables = stack_pytrees(per_id_trainables)
     opt_states = stack_pytrees(per_id_opts)
+    if mesh is not None:
+        from ..core.mesh import DATA_AXIS, replicate
+
+        n_data = mesh.shape[DATA_AXIS]
+        if K % n_data != 0:
+            raise ValueError(
+                f"vmapped identity group K={K} must divide the mesh data "
+                f"axis ({n_data}) — pad the group or change vmap_identities"
+            )
+        trainables = shard_identity_axis(mesh, trainables)
+        opt_states = shard_identity_axis(mesh, opt_states)
+        frozen = replicate(mesh, frozen)
 
     multi_step = make_multi_train_step(
         cfg, bundle, optimizer, make_ddpm(), policy=policy, detect_fn=detect_fn
@@ -214,6 +248,9 @@ def run_identities_vmapped(
             keys = jnp.stack(
                 [train_step_key(base_keys[i], global_step) for i in range(K)]
             )
+            if mesh is not None:
+                batches = shard_identity_axis(mesh, batches)
+                keys = shard_identity_axis(mesh, keys)
             trainables, opt_states, metrics = multi_step(
                 trainables, opt_states, frozen, batches, keys
             )

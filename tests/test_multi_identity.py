@@ -211,6 +211,50 @@ def test_run_identities_vmapped_driver_matches_serial(tmp_path):
     )
 
 
+def test_identity_axis_sharded_matches_unsharded():
+    """K=4 identities sharded over a 4-device "data" mesh: zero-collective
+    DP of the sweep. Loss lanes must match the unsharded vmapped step; the
+    sharded step is deterministic in-placement."""
+    from faceposegenerator_tpu.core.mesh import make_mesh
+
+    K = 4
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=64)
+    frozen = _frozen()
+    opt = idbooth.make_optimizer(cfg, total_steps=4)
+    t0 = idbooth.init_trainable(jax.random.key(cfg.seed), cfg, TINY, frozen["unet"])
+    o0 = opt.init(t0)
+
+    multi = multi_identity.make_multi_train_step(
+        cfg, TINY, opt, policy=PARITY_POLICY, donate=False
+    )
+    ts = multi_identity.stack_pytrees([t0] * K)
+    os_ = multi_identity.stack_pytrees([o0] * K)
+    bs = multi_identity.stack_pytrees([_batch(100 + 3 * i) for i in range(K)])
+    ks = jnp.stack([jax.random.key(50 + i) for i in range(K)])
+    _, _, m_ref = multi(ts, os_, frozen, bs, ks)
+
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    from faceposegenerator_tpu.core.mesh import replicate
+
+    shard = lambda t: multi_identity.shard_identity_axis(mesh, t)
+    ts_s, os_s, bs_s, ks_s = shard(ts), shard(os_), shard(bs), shard(ks)
+    frozen_s = replicate(mesh, frozen)
+    t1, o1, m1 = multi(ts_s, os_s, frozen_s, bs_s, ks_s)
+    t2, _, m2 = multi(ts_s, os_s, frozen_s, bs_s, ks_s)
+
+    # per-identity losses: sharded == unsharded (each lane's math runs on
+    # one device either way; only XLA program partitioning differs)
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m_ref["loss"]), rtol=1e-5
+    )
+    # deterministic in-placement (bit-exact across calls)
+    for x, y in zip(jax.tree.leaves((t1, m1)), jax.tree.leaves((t2, m2))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # the identity axis actually landed sharded over "data"
+    leaf = jax.tree.leaves(t1)[0]
+    assert len(leaf.sharding.device_set) == 4
+
+
 def test_sweep_vmapped_grouping(tmp_path):
     """run_experiment_sweep(vmap_identities=2): equal-size identities train
     in one vmapped group; ragged leftovers fall back to serial."""
