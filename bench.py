@@ -180,6 +180,16 @@ def bench_sweep(repeats: int):
     gen_batch = int(os.environ.get("BENCH_SWEEP_BATCH", "0")) or min(n_prompts, 8)
     write_pngs = os.environ.get("BENCH_SWEEP_PNGS", "1") == "1"
     run_eval = os.environ.get("BENCH_SWEEP_EVAL", "1") == "1"  # attribution knob
+    # BENCH_SWEEP_MODELS=V sweeps V model variants per identity (the
+    # reference op point is 3, `inference_ID-Booth.py:97`; default 1 keeps
+    # the historical metric). BENCH_SWEEP_PACK=1 packs all variants' prompts
+    # into shared fixed-shape batches with per-sample adapters
+    # (pipelines.sweep pack_variants) — at 3×21 that is 8 batches vs 9.
+    n_models = int(os.environ.get("BENCH_SWEEP_MODELS", "1"))
+    pack = os.environ.get("BENCH_SWEEP_PACK", "0") == "1"
+    from faceposegenerator_tpu.pipelines.sweep import MODEL_VARIANTS
+
+    models_to_test = MODEL_VARIANTS[-n_models:]
 
     def one_pass(workdir):
         """Streaming harness (VERDICT r2 #1): FIQA/pose consume the sampler's
@@ -195,18 +205,22 @@ def bench_sweep(repeats: int):
             # pack (pose 3 + quality 1) into ONE device array per batch:
             # each device→host fetch over the axon tunnel costs ~25 ms RTT
             # (perf/xfer_micro_r3.py), so the whole pass fetches eval results
-            # exactly once
+            # exactly once. Packed mode: model_name is None and names may
+            # contain None pad slots — keep row alignment, filter at the end.
             _, q = quality_fn_u8(dev_imgs)
             dev_evals.append(jnp.concatenate([pose_fn_u8(dev_imgs), q[:, None]], axis=1))
             all_names.extend(names)
-            all_idents.extend([identity] * len(names))
+            all_idents.extend(
+                [identity if n is not None else None for n in names]
+            )
 
         run_sweep(
             pipe, lora_root, out_root,
-            identities=[str(i) for i in range(n_ids)], models_to_test=("ID-Booth",),
+            identities=[str(i) for i in range(n_ids)], models_to_test=models_to_test,
             num_prompts=n_prompts, num_inference_steps=30,
             guidance_scale=5.0, batch_size=gen_batch, seed=0,
             on_images=harness if run_eval else None, write_pngs=write_pngs,
+            pack_variants=pack,
         )
         if not run_eval:
             return
@@ -214,10 +228,12 @@ def bench_sweep(repeats: int):
         poses_np, scores = evals[:, :3], evals[:, 3]
         with open(os.path.join(workdir, "fiqa.txt"), "w") as f:
             for n, s in zip(all_names, scores):
-                f.write(f"{n} {float(s)}\n")
+                if n is not None:
+                    f.write(f"{n} {float(s)}\n")
         per_id = {}
         for ident, p in zip(all_idents, poses_np):
-            per_id.setdefault(ident, []).append([float(v) for v in p])
+            if ident is not None:
+                per_id.setdefault(ident, []).append([float(v) for v in p])
         pose.aggregate_poses(per_id, os.path.join(workdir, "poses.json"))
 
     with tempfile.TemporaryDirectory() as wd:
@@ -229,10 +245,12 @@ def bench_sweep(repeats: int):
             one_pass(wd)
             times.append(time.perf_counter() - t0)
     best = min(times)
-    n_images = n_prompts * n_ids
+    n_images = n_prompts * n_ids * n_models
     ids_tag = f" x {n_ids} identities" if n_ids != 1 else ""
+    models_tag = f" x {n_models} variants" if n_models != 1 else ""
+    pack_tag = ", packed" if pack else ""
     return {
-        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}, 30-step CFG + FIQA + pose)",
+        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}{models_tag}{pack_tag}, 30-step CFG + FIQA + pose)",
         "value": round(n_images / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n_images / best / 30.0, 3),
@@ -473,21 +491,30 @@ def bench_serve(batch: int, steps: int, repeats: int):
         models=SamplerModels(attn_impl=os.environ.get("BENCH_ATTN", "auto")),
         dtype=jnp.bfloat16, tokenizer=tok, policy=policy,
     )
+    # BENCH_SERVE_LORAS=K: round-robin K distinct adapters through the burst
+    # (default 2 = the classic metric's None/id0 alternation). With K >
+    # batch-window diversity the classic server fragments into padded
+    # per-LoRA batches; BENCH_MULTILORA=1 serves the same traffic with
+    # per-request adapters packed into full batches (serving/engine.py).
+    n_loras = int(os.environ.get("BENCH_SERVE_LORAS", "2"))
+    multi = os.environ.get("BENCH_MULTILORA", "0") == "1"
     server = SamplerServer(
         pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
+        multi_lora=multi,
     )
     from faceposegenerator_tpu.diffusion.lora_io import zero_lora
 
-    server.register_lora(
-        "id0", zero_lora(pipe.params["unet"], pipe.params["text_encoder"],
-                         dtype=jnp.bfloat16),
-    )
+    zl = zero_lora(pipe.params["unet"], pipe.params["text_encoder"],
+                   dtype=jnp.bfloat16)
+    lora_ids = [None] + [f"id{k}" for k in range(n_loras - 1)]
+    for k in range(n_loras - 1):
+        server.register_lora(f"id{k}", zl)
 
     def burst(n, tag):
         reqs = [
             GenerationRequest(
                 prompt=f"face portrait photo {tag} {i}", seed=i,
-                lora_id="id0" if i % 2 else None,
+                lora_id=lora_ids[i % len(lora_ids)],
             )
             for i in range(n)
         ]
@@ -506,7 +533,9 @@ def bench_serve(batch: int, steps: int, repeats: int):
     best = min(times)
     server.shutdown()
     return {
-        "metric": f"serving imgs/sec/chip 512x512 {steps}-step CFG (batch {batch}, mixed-LoRA bursts)",
+        "metric": f"serving imgs/sec/chip 512x512 {steps}-step CFG (batch {batch}, "
+        + (f"{n_loras}-LoRA bursts" if n_loras != 2 else "mixed-LoRA bursts")
+        + (", multi_lora" if multi else "") + ")",
         "value": round(n / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n / best / 30.0, 3),

@@ -110,6 +110,13 @@ def cmd_generate(argv):
              "sharded over 'data', params/LoRAs replicated once; batch_size "
              "must divide N)",
     )
+    ap.add_argument(
+        "--pack_variants", action="store_true",
+        help="pack all model variants' prompts into shared fixed-shape "
+             "batches with per-sample LoRA adapters (fewer, fuller UNet "
+             "batches at the 3-variant x 21-prompt reference op point; "
+             "cross-variant noise identity preserved per prompt)",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -155,28 +162,41 @@ def cmd_generate(argv):
         def on_images(model_name, identity, batch_names, dev_imgs):
             _, q = quality_fn_u8(dev_imgs)
             dev_evals.append(jnp.concatenate([pose_fn_u8(dev_imgs), q[:, None]], axis=1))
-            names.extend(f"{model_name}/{identity}/{n}" for n in batch_names)
-            idents.extend([f"{model_name}/{identity}"] * len(batch_names))
+            for n in batch_names:
+                if n is None:  # packed-mode pad slot: keep row alignment
+                    names.append(None)
+                    idents.append(None)
+                elif model_name is None:  # packed: n is "<model>/<file>"
+                    m, f = n.split("/", 1)
+                    names.append(f"{m}/{identity}/{f}")
+                    idents.append(f"{m}/{identity}")
+                else:
+                    names.append(f"{model_name}/{identity}/{n}")
+                    idents.append(f"{model_name}/{identity}")
 
         def finish_eval():
             evals = np.asarray(jnp.concatenate(dev_evals)) if dev_evals else np.zeros((0, 4))
             eval_dir = os.path.join(args.output, "eval")
             os.makedirs(eval_dir, exist_ok=True)
+            n_real = 0
             with open(os.path.join(eval_dir, "fiqa_scores.txt"), "w") as f:
                 for n, s in zip(names, evals[:, 3]):
-                    f.write(f"{n} {float(s)}\n")
+                    if n is not None:
+                        f.write(f"{n} {float(s)}\n")
+                        n_real += 1
             per_id = {}
             for ident, p in zip(idents, evals[:, :3]):
-                per_id.setdefault(ident, []).append([float(v) for v in p])
+                if ident is not None:
+                    per_id.setdefault(ident, []).append([float(v) for v in p])
             pose.aggregate_poses(per_id, os.path.join(eval_dir, "pose_stats.json"))
-            print(json.dumps({"eval": eval_dir, "images": len(names)}))
+            print(json.dumps({"eval": eval_dir, "images": n_real}))
 
     run_sweep(
         pipe, args.lora_root, args.output,
         gender_dict_path=args.gender_dict, checkpoint=args.checkpoint,
         num_prompts=args.num_prompts, num_inference_steps=args.steps,
         guidance_scale=args.guidance, batch_size=args.batch_size, seed=args.seed,
-        on_images=on_images,
+        on_images=on_images, pack_variants=args.pack_variants,
     )
     if finish_eval is not None:
         finish_eval()

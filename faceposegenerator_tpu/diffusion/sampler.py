@@ -184,6 +184,27 @@ def sample(
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
 
 
+@functools.partial(_options_jit, static_argnames=("S", "h", "w"))
+def per_prompt_noise(key: jax.Array, prompt_idx: jax.Array, S: int, h: int, w: int) -> jax.Array:
+    """(S+1, B, h, w, 4) `noise_override` stream keyed by PROMPT index.
+
+    The reference seeds one torch.Generator with the identity index and
+    draws from it sequentially across the 21 prompts
+    (`inference_ID-Booth.py:111,138`), so (a) the three model variants see
+    identical latents per prompt and (b) different prompts see different
+    noise. Deriving every slot's stream as fold_in(identity_key, prompt_idx)
+    reproduces both properties regardless of WHICH batch a (variant, prompt)
+    pair lands in — the invariant that lets the packed sweep
+    (`pipelines.sweep.run_sweep(pack_variants=True)`) mix variants freely
+    within fixed-shape batches."""
+    def one(p):
+        return jax.random.normal(
+            jax.random.fold_in(key, p), (S + 1, h, w, 4), jnp.float32
+        )
+
+    return jnp.moveaxis(jax.vmap(one)(prompt_idx), 0, 1)
+
+
 def sample_data_parallel(mesh, params, schedule, input_ids, negative_input_ids, key, **kw):
     """Sharded sampling: batch over the mesh "data" axis, params replicated.
 

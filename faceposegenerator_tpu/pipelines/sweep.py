@@ -33,6 +33,21 @@ DEFAULT_NEGATIVE = (
 )
 MODEL_VARIANTS = ("DreamBooth", "PortraitBooth", "ID-Booth")
 
+# jitted (stacked_tree, idx) -> per-slot tree gather for the packed sweep:
+# ONE device program per batch instead of one tiny gather dispatch per leaf
+_GATHER_ROWS = None
+
+
+def _gather_rows(tree, idx):
+    global _GATHER_ROWS
+    if _GATHER_ROWS is None:
+        import jax
+
+        _GATHER_ROWS = jax.jit(
+            lambda t, i: jax.tree.map(lambda l: l[i], t)
+        )
+    return _GATHER_ROWS(tree, idx)
+
 
 def build_prompt_combinations(
     add_age: bool = False,
@@ -134,9 +149,30 @@ def run_sweep(
     on_images=None,
     write_pngs: bool = True,
     writer_threads: int = 8,
+    pack_variants: bool = False,
+    variant_loras: Optional[Dict[str, dict]] = None,
+    height: int = 512,
+    width: int = 512,
 ):
     """Full sweep. `pipe` is a `StableDiffusionPipeline`; LoRA checkpoints
     live at `<lora_root>/<model>/<identity>/<checkpoint>`.
+
+    `pack_variants=True` packs all model variants' prompts of an identity
+    into shared fixed-shape batches with PER-SAMPLE adapters (slot b rides
+    variant b's LoRA — `ops.lora.lora_delta`'s batched form): at the
+    reference op point (3 variants × 21 prompts, `inference_ID-Booth.py:
+    86-97,113`) the per-variant path runs 3×⌈21/8⌉ = 9 batches (72 slots, 9
+    padded); packed runs ⌈63/8⌉ = 8 (1 padded) — 11% fewer UNet
+    invocations, and no per-variant ragged-tail program. Noise comes from
+    `sampler.per_prompt_noise` keyed by (identity, prompt index), so the
+    three variants still see identical latents per prompt (the reference's
+    `:111` comparability invariant) no matter which batch a slot lands in.
+    In packed mode `on_images` is called once per MIXED batch as
+    `on_images(None, identity, names, dev_imgs)` where `names[i]` is
+    "<model>/<identity>_<prompt:03d>.png" (None for pad slots).
+    `variant_loras` optionally supplies adapter trees per model name
+    directly (bypassing checkpoint dirs; missing variants get zero
+    adapters).
 
     TPU pipelining (VERDICT r2 #1): generation batch i+1 is DISPATCHED to
     the device before batch i's results are fetched, so all host work for
@@ -191,10 +227,45 @@ def run_sweep(
     # one-deep pipeline: handle batch i's host side only after batch i+1 is
     # already queued on the device
     pending = None  # (model_name, identity, out_dir, names, device_images_u8)
+    pending_packed = None  # (identity, slots, device_images_u8)
     grid_firsts: Dict[str, Dict[str, list]] = {}
 
     def _drain():
-        nonlocal pending
+        nonlocal pending, pending_packed
+        if pending_packed is not None:
+            identity, slots, dev_imgs = pending_packed
+            pending_packed = None
+            if on_images is not None:
+                names = [
+                    None if m is None else f"{m}/{identity}_{p:03d}.png"
+                    for m, p in slots
+                ]
+                on_images(None, identity, names, dev_imgs)
+            firsts = grid_firsts.setdefault(identity, {})
+            for m, _ in slots:
+                if m is not None:
+                    firsts.setdefault(m, [])
+            need_firsts = any(
+                len(firsts[m]) < 7 for m, _ in slots if m is not None
+            )
+            if write_pngs or need_firsts:
+                imgs = np.asarray(dev_imgs)  # blocks on batch i only, not i+1
+                sel, paths = [], []
+                for i, (m, p) in enumerate(slots):
+                    if m is None:
+                        continue  # pad slot
+                    sel.append(i)
+                    paths.append(
+                        os.path.join(output_root, m, identity, f"{identity}_{p:03d}.png")
+                    )
+                    have = firsts[m]
+                    if len(have) < 7:
+                        have.append(imgs[i])
+                if write_pngs and paths:
+                    write_futs.append(
+                        writers.submit(_write_batch, imgs[sel], paths)
+                    )
+            return
         if pending is None:
             return
         model_name, identity, out_dir, names, dev_imgs = pending
@@ -215,10 +286,87 @@ def run_sweep(
             if len(have) < 7:
                 have.extend(list(imgs[: 7 - len(have)]))
 
+    def _run_identity_packed(identity: str, id_number: int, prompts: List[str]):
+        """All variants × prompts of one identity as ⌈V·P/B⌉ fixed-shape
+        batches with per-sample adapters and per-prompt noise."""
+        nonlocal pending_packed
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.rng import sampler_key
+        from ..diffusion.lora_io import load_lora_safetensors, zero_lora
+        from ..diffusion.sampler import per_prompt_noise
+
+        trees = []
+        for model_name in models_to_test:
+            tree = None
+            if variant_loras and model_name in variant_loras:
+                tree = variant_loras[model_name]
+            else:
+                ckpt = os.path.join(lora_root, model_name, identity, checkpoint)
+                if os.path.isdir(ckpt):
+                    tree = load_lora_safetensors(
+                        ckpt, pipe.params["unet"], pipe.params["text_encoder"],
+                        dtype=pipe.policy.param_dtype,
+                    )
+            if tree is None:  # no checkpoint → zero adapter (= base model)
+                tree = zero_lora(
+                    pipe.params["unet"], pipe.params["text_encoder"],
+                    dtype=pipe.policy.param_dtype,
+                )
+            trees.append(tree)
+            os.makedirs(os.path.join(output_root, model_name, identity), exist_ok=True)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)  # (V, ...)
+
+        tok = np.asarray(pipe.tokenize(prompts))  # (P, 77)
+        neg = np.asarray(pipe.tokenize([negative]))[0]  # (77,)
+        items = [
+            (vi, pi)
+            for vi in range(len(models_to_test))
+            for pi in range(len(prompts))
+        ]
+        n_pad = (-len(items)) % batch_size
+        padded = items + [items[-1]] * n_pad  # pad slots re-run the last item
+        id_key = sampler_key(id_number)
+        for start in range(0, len(padded), batch_size):
+            chunk = padded[start : start + batch_size]
+            vi = jnp.asarray([v for v, _ in chunk], jnp.int32)
+            pi = jnp.asarray([p for _, p in chunk], jnp.int32)
+            lora_b = _gather_rows(stacked, vi)
+            noise = per_prompt_noise(
+                id_key, pi, num_inference_steps, height // 8, width // 8
+            )
+            dev_imgs = pipe(
+                input_ids=jnp.asarray(tok[[p for _, p in chunk]]),
+                negative_input_ids=jnp.asarray(
+                    np.broadcast_to(neg, (len(chunk), neg.shape[0]))
+                ),
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                height=height, width=width,
+                lora=lora_b,
+                lora_scale=jnp.ones((len(chunk),), jnp.float32),
+                noise_override=noise,
+                output_type="jax_u8",
+            )
+            # mark trailing pad slots (only the LAST batch can have them)
+            first_pad = len(chunk) - (
+                n_pad if start + batch_size >= len(padded) else 0
+            )
+            slots = [
+                (models_to_test[v], p) if i < first_pad else (None, p)
+                for i, (v, p) in enumerate(chunk)
+            ]
+            _drain()  # host work for the PREVIOUS batch
+            pending_packed = (identity, slots, dev_imgs)
+
     try:
         for identity in identities:
             id_number = int("".join(c for c in identity if c.isdigit()) or 0)
             prompts = build_prompts(identity, gender_dict, combos, num_prompts, seed=seed)
+            if pack_variants:
+                _run_identity_packed(identity, id_number, prompts)
+                continue
             for model_name in models_to_test:
                 ckpt = os.path.join(lora_root, model_name, identity, checkpoint)
                 if os.path.isdir(ckpt):
@@ -232,6 +380,7 @@ def run_sweep(
                         negative_prompt=[negative] * len(chunk),
                         num_inference_steps=num_inference_steps,
                         guidance_scale=guidance_scale,
+                        height=height, width=width,
                         seed=id_number,  # identity-index seed (:111)
                         output_type="jax_u8",  # stays on device until _drain
                     )

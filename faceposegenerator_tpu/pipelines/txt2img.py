@@ -155,8 +155,19 @@ class StableDiffusionPipeline:
         input_ids: Optional[jax.Array] = None,
         negative_input_ids: Optional[jax.Array] = None,
         output_type: str = "np",
+        lora: Optional[dict] = None,
+        lora_scale=None,
+        noise_override: Optional[jax.Array] = None,
     ):
-        """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax)."""
+        """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax).
+
+        `lora`/`lora_scale`: per-call adapter override. Leaves may carry a
+        leading request axis (B, r, in)/(B, out, r) with a (B,) scale —
+        heterogeneous batches where slot b rides its own adapter (the packed
+        sweep and the multi-tenant server use this). `noise_override`:
+        (S+1, B, h/8, w/8, 4) pre-drawn noise (initial latent + per-step DDPM
+        noise) replacing the PRNG stream — see `sampler.per_prompt_noise`.
+        """
         if input_ids is None:
             input_ids = self.tokenize(prompt)
         if negative_input_ids is None:
@@ -176,7 +187,9 @@ class StableDiffusionPipeline:
             key = sampler_key(seed if seed is not None else 0)
 
         if self.mesh is not None:
-            from ..core.mesh import DATA_AXIS, shard_batch
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..core.mesh import DATA_AXIS, replicate, shard_batch
 
             n_data = self.mesh.shape[DATA_AXIS]
             if input_ids.shape[0] % n_data != 0:
@@ -187,21 +200,45 @@ class StableDiffusionPipeline:
             input_ids, negative_input_ids = shard_batch(
                 self.mesh, (input_ids, negative_input_ids)
             )
+            if lora is not None:
+                # per-call adapters: stacked (B, ...) leaves shard over
+                # "data" aligned with their prompt rows; shared adapters
+                # replicate (same placement the serving engine uses)
+                leaves = jax.tree.leaves(lora)
+                if leaves and leaves[0].ndim == 3:
+                    lora = jax.device_put(
+                        lora, NamedSharding(self.mesh, P(DATA_AXIS))
+                    )
+                    if isinstance(lora_scale, jax.Array) and lora_scale.ndim == 1:
+                        lora_scale = jax.device_put(
+                            lora_scale, NamedSharding(self.mesh, P(DATA_AXIS))
+                        )
+                else:
+                    lora = replicate(self.mesh, lora)
+            if noise_override is not None:
+                noise_override = jax.device_put(
+                    noise_override, NamedSharding(self.mesh, P(None, DATA_AXIS))
+                )
 
         if self.scheduler_kind == "ddpm":
             sched = make_ddpm(self.scheduler_config, num_inference_steps)
         else:
             sched = make_dpm_solver(self.scheduler_config, num_inference_steps)
 
-        lora = None
-        if self.lora is not None:
-            lora = {"unet": self.lora.get("unet"), "text_encoder": self.lora.get("text_encoder")}
+        if lora is None:
+            scale = self.lora_scale
+            if self.lora is not None:
+                lora = {"unet": self.lora.get("unet"), "text_encoder": self.lora.get("text_encoder")}
+        else:
+            lora = {"unet": lora.get("unet"), "text_encoder": lora.get("text_encoder")}
+            scale = lora_scale if lora_scale is not None else 1.0
 
         images = sample(
             self.params, sched, input_ids, negative_input_ids, key,
             models=self.models, guidance_scale=float(guidance_scale),
             height=height, width=width, policy=self.policy,
-            scheduler=self.scheduler_kind, lora=lora, lora_scale=self.lora_scale,
+            scheduler=self.scheduler_kind, lora=lora, lora_scale=scale,
+            noise_override=noise_override,
         )
         if output_type in ("u8", "jax_u8"):
             # device-side quantize: the sweep/serving consumers want uint8;

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Session-3 TPU queue, part D (chained after perf/r3w_queue.sh):
+#  - REDO of perf/r3u_sampler_options2.sh: the original run died in a
+#    TPU-unavailable window at its first variant (only "control" started;
+#    no output file). Remaining reachable proto-backed options applied on
+#    top of the baked sampler default (fusion cost model).
+#  - train_vmap4 retry at timeout 5400 (3600 was exceeded — the K=4
+#    vmapped train program's remote compile alone can pass an hour).
+cd /root/repo
+OUT=perf/r3x_queue.jsonl
+run() {
+  tag="$1"; to="$2"; shift 2
+  echo "=== $tag ($(date +%H:%M:%S))" >> /tmp/r3x_err.log
+  if out=$(timeout "$to" env BENCH_REPEATS=5 "$@" python bench.py 2>>/tmp/r3x_err.log); then
+    echo "${out%\}}, \"variant\": \"$tag\"}" >> "$OUT"
+  else
+    echo "{\"variant\": \"$tag\", \"error\": \"exit $?\"}" >> "$OUT"
+  fi
+}
+run train_vmap4_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=4 BENCH_REPEATS=3
+run control 2400
+run dot_dot 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion":"true"}'
+run dot_dot_dup 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion_duplicated":"true"}'
+run rwb_off 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_rwb_fusion":"false"}'
+run dsr_off 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_dot_strength_reduction":"false"}'
+run v2v_dma 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_vmem_to_vmem_dmas":"true"}'
+run bcast_prio 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_aggressive_broadcast_priority_update":"true"}'
+run licm_2 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_licm_size_inflation_ratio":"2.0"}'
+echo DONE_R3X >> /tmp/r3x_err.log
