@@ -47,7 +47,16 @@ def cmd_train_idbooth(argv):
         "(K independent fine-tunes, ~2x sweep throughput at the default "
         "per-identity batch; see training.multi_identity)",
     )
+    ap.add_argument(
+        "--identity_parallel", type=int, default=0, metavar="N",
+        help="shard the K vmapped identities over an N-device 'data' mesh — "
+        "identities are independent fine-tunes, so the sweep data-"
+        "parallelizes with ZERO gradient collectives (K must divide N; "
+        "requires --vmap_identities)",
+    )
     args = ap.parse_args(argv)
+    if args.identity_parallel and args.vmap_identities < 2:
+        ap.error("--identity_parallel requires --vmap_identities K >= 2")
 
     import jax
 
@@ -78,10 +87,17 @@ def cmd_train_idbooth(argv):
         ap_, st_ = iresnet.init(jax.random.key(0), bundle.arcface_cfg)
     frozen["arcface"] = {"params": ap_, "state": st_}
     tokenizer = CLIPTokenizer.from_pretrained(os.path.join(args.model_dir, "tokenizer"))
+    extra = {}
+    if args.identity_parallel:
+        from .core.mesh import make_mesh
+
+        extra["mesh"] = make_mesh(
+            devices=jax.devices()[: args.identity_parallel]
+        )
     idbooth_driver.run_experiment_sweep(
         cfg, bundle, frozen, args.source_folder, args.output_folder,
         tokenizer=tokenizer, embeds_root=args.embeds_root, class_dir=args.class_data_dir,
-        vmap_identities=args.vmap_identities,
+        vmap_identities=args.vmap_identities, **extra,
     )
 
 
