@@ -601,13 +601,19 @@ def main():
 
     decode_chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "0")) or None
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    # BENCH_DEEPCACHE=k: OPT-IN DeepCache approximation — full UNet every
+    # k-th step, shallow-blocks-only + deep-feature splice otherwise
+    # (BENCH_DEEPCACHE_DEPTH shallow blocks recomputed; sampler docstring).
+    # Reported SEPARATELY from the exact default metric.
+    dc = int(os.environ.get("BENCH_DEEPCACHE", "1"))
+    dc_depth = int(os.environ.get("BENCH_DEEPCACHE_DEPTH", "1"))
 
     def run(key):
         return sample(
             params, sched, ids, neg, key,
             models=models, guidance_scale=5.0, height=512, width=512,
             policy=policy, lora=lora, decode_chunk=decode_chunk,
-            unroll=unroll,
+            unroll=unroll, deepcache_interval=dc, deepcache_depth=dc_depth,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready
@@ -624,6 +630,8 @@ def main():
     ips = batch / best
     p50_latency = best / batch
     tag = f" ABLATE={ablate}" if ablate else ""
+    if dc > 1:
+        tag += f" DEEPCACHE={dc}/d{dc_depth}"
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),

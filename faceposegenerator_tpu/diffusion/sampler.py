@@ -51,7 +51,7 @@ class SamplerModels:
     tpu_default_options={"xla_tpu_enable_experimental_fusion_cost_model": "true"},
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
-        "decode_chunk", "unroll",
+        "decode_chunk", "unroll", "deepcache_interval", "deepcache_depth",
     ),
 )
 def sample(
@@ -72,6 +72,8 @@ def sample(
     noise_override: Optional[jax.Array] = None,
     decode_chunk: Optional[int] = None,
     unroll: int = 1,
+    deepcache_interval: int = 1,
+    deepcache_depth: int = 1,
 ) -> jax.Array:
     """Generate images.
 
@@ -84,6 +86,13 @@ def sample(
     `noise_override`: optional (S+1, B, h, w, 4) — initial latent noise at
     index 0 then per-step DDPM noise; replaces the PRNG stream for parity
     testing.
+
+    `deepcache_interval=k > 1` (OPT-IN approximation; default 1 = exact):
+    run the full UNet only on steps i ≡ 0 (mod k), caching the deep
+    feature at up_blocks[L-depth]; other steps recompute only the shallow
+    `deepcache_depth` down blocks + last `deepcache_depth` up blocks and
+    splice the cache (`unet2d.apply_cached` — DeepCache/Faster-Diffusion
+    style, see PAPERS.md). DDPM only.
     """
     B = input_ids.shape[0]
     h, w = height // 8, width // 8
@@ -129,7 +138,56 @@ def sample(
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
-    if scheduler == "ddpm":
+    if deepcache_interval > 1 and scheduler != "ddpm":
+        raise ValueError("deepcache_interval > 1 supports the ddpm scheduler only")
+
+    if scheduler == "ddpm" and deepcache_interval > 1:
+
+        def unet_eps_dc(x, t, cache):
+            lat = jnp.concatenate([x, x], axis=0)
+            eps, cache = unet2d.apply_cached(
+                params["unet"], lat, jnp.broadcast_to(t, (2 * B,)), ctx,
+                models.unet_cfg, policy=policy,
+                lora=unet_lora, lora_scale=lora_scale,
+                attn_impl=models.attn_impl,
+                depth=deepcache_depth, cached=cache,
+            )
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            return eps_u + guidance_scale * (eps_c - eps_u), cache
+
+        def step_noise(i):
+            if noise_override is not None:
+                return noise_override[i + 1]
+            return jax.random.normal(
+                jax.random.fold_in(key, i), x.shape, jnp.float32
+            )
+
+        # step 0 outside the loop: it must run FULL and its cache fixes the
+        # carry structure for the cond inside the loop
+        eps0, cache = unet_eps_dc(x, schedule.timesteps[0], None)
+        x, _ = schedule.step(eps0, 0, x, step_noise(0))
+
+        def body_dc(i, carry):
+            x, cache = carry
+            t = schedule.timesteps[i]
+            eps, cache = jax.lax.cond(
+                i % deepcache_interval == 0,
+                lambda x_, c_: unet_eps_dc(x_, t, None),
+                lambda x_, c_: unet_eps_dc(x_, t, c_),
+                x, cache,
+            )
+            x2, _ = schedule.step(eps, i, x, step_noise(i))
+            return (x2, cache)
+
+        if unroll > 1:
+            (x, _), _ = jax.lax.scan(
+                lambda c, i: (body_dc(i, c), None), (x, cache),
+                jnp.arange(1, S), unroll=unroll,
+            )
+        else:
+            x, _ = jax.lax.fori_loop(1, S, body_dc, (x, cache))
+
+    elif scheduler == "ddpm":
 
         def body(i, x):
             t = schedule.timesteps[i]

@@ -484,3 +484,127 @@ def apply(
     x = group_norm(x, params["conv_norm_out"]["g"], params["conv_norm_out"]["b"], num_groups=cfg.norm_groups, eps=1e-5, act="silu")
     x = conv2d(x, params["conv_out"])
     return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# DeepCache-style cached apply (training-free sampler acceleration, opt-in)
+# ---------------------------------------------------------------------------
+
+
+def apply_cached(
+    params,
+    latents: jax.Array,
+    timesteps: jax.Array,
+    encoder_hidden_states: jax.Array,
+    cfg: UNetConfig = SD21_UNET_CONFIG,
+    policy: Policy = DEFAULT_POLICY,
+    lora: Optional[dict] = None,
+    lora_scale: float | jax.Array = 1.0,
+    attn_impl: str = "auto",
+    ctx_len: Optional[int] = None,
+    depth: int = 1,
+    cached: Optional[jax.Array] = None,
+):
+    """ε̂ with a DeepCache-style deep-feature cache (opt-in approximation;
+    `apply` stays the exact default).
+
+    Adjacent denoising steps change the UNet's DEEP features far less than
+    its shallow ones (DeepCache, arXiv:2312.00858; "Faster Diffusion"
+    encoder propagation, arXiv:2312.09608 — see PAPERS.md). With `cached`
+    given, only the shallowest `depth` down blocks (where the fresh latent
+    enters; their downsamples dropped) and the last `depth` up blocks run,
+    splicing `cached` as the feature entering `up_blocks[L-depth]` — the
+    skip bookkeeping is exact: up block L-1 consumes [conv_in, d0r0, d0r1],
+    up block L-2 consumes [d0ds, d1r0, d1r1], … so the partial pass's
+    recomputed skips are exactly the ones the executed up blocks read.
+    With `cached=None` the FULL network runs (identical math to `apply`)
+    and the splice-point feature is returned for reuse.
+
+    Returns (eps, cache). `partial(z, full_cache(z)) == full(z)` bit-for-bit
+    on the same latent (tests/test_deepcache.py) — the approximation comes
+    only from reusing a cache across steps, never from the splice itself.
+    Inference-only (no remat); the reference has no counterpart (it samples
+    the full UNet 60×/image, `inference_ID-Booth.py:138`).
+    """
+    L = len(params["down_blocks"])
+    if not 1 <= depth < L:
+        raise ValueError(f"depth must be in [1, {L - 1}], got {depth}")
+    x = latents.astype(policy.compute_dtype)
+    ctx = encoder_hidden_states.astype(policy.compute_dtype)
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+    temb = temb.astype(policy.compute_dtype)
+    te = params["time_embedding"]
+    temb = lora_dense(temb, te["linear_1"]["w"], te["linear_1"]["b"])
+    temb = lora_dense(jax.nn.silu(temb), te["linear_2"]["w"], te["linear_2"]["b"])
+
+    partial = cached is not None
+    n_down = depth if partial else L  # shallow blocks always recompute
+
+    def down_unit(block, blora, j, x):
+        h = _resblock_apply(block["resnets"][j], x, temb, policy, cfg.norm_groups)
+        if block["attentions"] is not None:
+            h = _transformer_apply(
+                block["attentions"][j], h, ctx, cfg,
+                lora=None if blora is None else blora["attentions"][j],
+                lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+            )
+        return h
+
+    x = conv2d(x, params["conv_in"])
+    skips = [x]
+    for bi in range(n_down):
+        block = params["down_blocks"][bi]
+        blora = None if lora is None else lora["down_blocks"][bi]
+        for j in range(len(block["resnets"])):
+            x = down_unit(block, blora, j, x)
+            skips.append(x)
+        # the deepest recomputed block's downsample feeds only SKIPPED
+        # blocks in the partial pass — drop it there
+        if block["downsample"] is not None and not (partial and bi == depth - 1):
+            x = _downsample(block["downsample"], x)
+            skips.append(x)
+
+    if partial:
+        x = cached.astype(policy.compute_dtype)
+        cache_out = cached
+        first_up = L - depth
+    else:
+        mid = params["mid_block"]
+        mlora = None if lora is None else lora["mid_block"]
+        h = _resblock_apply(mid["resnets"][0], x, temb, policy, cfg.norm_groups)
+        h = _transformer_apply(
+            mid["attentions"][0], h, ctx, cfg,
+            lora=None if mlora is None else mlora["attentions"][0],
+            lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+        )
+        x = _resblock_apply(mid["resnets"][1], h, temb, policy, cfg.norm_groups)
+        first_up = 0
+
+    for bi in range(first_up, L):
+        if not partial and bi == L - depth:
+            cache_out = x  # feature entering up_blocks[L-depth]
+        block = params["up_blocks"][bi]
+        blora = None if lora is None else lora["up_blocks"][bi]
+        for j in range(len(block["resnets"])):
+            skip = skips.pop()
+            h = _resblock_apply(
+                block["resnets"][j],
+                jnp.concatenate([x, skip.astype(x.dtype)], axis=-1),
+                temb, policy, cfg.norm_groups,
+            )
+            if block["attentions"] is not None:
+                h = _transformer_apply(
+                    block["attentions"][j], h, ctx, cfg,
+                    lora=None if blora is None else blora["attentions"][j],
+                    lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                )
+            x = h
+        if block["upsample"] is not None:
+            x = _upsample(block["upsample"], x)
+
+    x = group_norm(x, params["conv_norm_out"]["g"], params["conv_norm_out"]["b"], num_groups=cfg.norm_groups, eps=1e-5, act="silu")
+    x = conv2d(x, params["conv_out"])
+    return x.astype(jnp.float32), cache_out

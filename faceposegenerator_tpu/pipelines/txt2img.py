@@ -158,6 +158,8 @@ class StableDiffusionPipeline:
         lora: Optional[dict] = None,
         lora_scale=None,
         noise_override: Optional[jax.Array] = None,
+        deepcache_interval: int = 1,
+        deepcache_depth: int = 1,
     ):
         """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax).
 
@@ -239,6 +241,8 @@ class StableDiffusionPipeline:
             height=height, width=width, policy=self.policy,
             scheduler=self.scheduler_kind, lora=lora, lora_scale=scale,
             noise_override=noise_override,
+            deepcache_interval=deepcache_interval,
+            deepcache_depth=deepcache_depth,
         )
         if output_type in ("u8", "jax_u8"):
             # device-side quantize: the sweep/serving consumers want uint8;
