@@ -1,0 +1,23 @@
+#!/bin/bash
+# Session-3 TPU queue, part F (after perf/r3y_queue.sh): DeepCache opt-in
+# sampler acceleration (separate metric tag — the exact default is
+# untouched). Expected: partial step ≈ 55% of UNet FLOPs at depth 1
+# (level-0 down+up blocks keep the expensive 4096-token attention), so
+# interval 2 ≈ +25-30%, interval 3 ≈ +35-45% over the 2.08 img/s exact
+# kernel; depth 2 trades more speed for more staleness.
+cd /root/repo
+OUT=perf/r3z_queue.jsonl
+run() {
+  tag="$1"; to="$2"; shift 2
+  echo "=== $tag ($(date +%H:%M:%S))" >> /tmp/r3z_err.log
+  if out=$(timeout "$to" env BENCH_REPEATS=5 "$@" python bench.py 2>>/tmp/r3z_err.log); then
+    echo "${out%\}}, \"variant\": \"$tag\"}" >> "$OUT"
+  else
+    echo "{\"variant\": \"$tag\", \"error\": \"exit $?\"}" >> "$OUT"
+  fi
+}
+run dc2_d1 3600 BENCH_DEEPCACHE=2
+run dc3_d1 3600 BENCH_DEEPCACHE=3
+run dc5_d1 3600 BENCH_DEEPCACHE=5
+run dc3_d2 3600 BENCH_DEEPCACHE=3 BENCH_DEEPCACHE_DEPTH=2
+echo DONE_R3Z >> /tmp/r3z_err.log
