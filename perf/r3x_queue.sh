@@ -18,6 +18,10 @@ run() {
   fi
 }
 run train_vmap4_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=4 BENCH_REPEATS=3
+# vmap2's r3v slot was consumed by the same TPU-unavailable window
+# (21:45-01:26, "TPU backend setup/compile error (Unavailable)") that
+# killed r3u — not by slow compile; re-measure
+run train_vmap2_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=2 BENCH_REPEATS=3
 run control 2400
 run dot_dot 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion":"true"}'
 run dot_dot_dup 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion_duplicated":"true"}'
