@@ -22,12 +22,11 @@ run train_vmap4_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VM
 # (21:45-01:26, "TPU backend setup/compile error (Unavailable)") that
 # killed r3u — not by slow compile; re-measure
 run train_vmap2_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=2 BENCH_REPEATS=3
-run control 2400
+# trimmed vs the lost r3u plan: part-1 options all measured neutral, so
+# keep only the 4 most plausible levers (control = the well-established
+# 2.084-2.086 default, re-measured in every recent queue)
 run dot_dot 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion":"true"}'
-run dot_dot_dup 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion_duplicated":"true"}'
 run rwb_off 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_rwb_fusion":"false"}'
-run dsr_off 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_dot_strength_reduction":"false"}'
 run v2v_dma 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_vmem_to_vmem_dmas":"true"}'
-run bcast_prio 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_aggressive_broadcast_priority_update":"true"}'
 run licm_2 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_licm_size_inflation_ratio":"2.0"}'
 echo DONE_R3X >> /tmp/r3x_err.log
