@@ -703,6 +703,13 @@ def cmd_serve(argv):
              "adapter (per-sample LoRA), so mixed-identity traffic packs "
              "full batches instead of fragmenting per LoRA",
     )
+    ap.add_argument(
+        "--deepcache", type=int, default=1, metavar="K",
+        help="OPT-IN DeepCache approximation: full UNet every K-th denoise "
+             "step, shallow-blocks + cached-deep-feature splice otherwise "
+             "(1 = exact; ddpm only)",
+    )
+    ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -725,6 +732,7 @@ def cmd_serve(argv):
         height=args.size, width=args.size, scheduler=args.scheduler,
         mesh=mesh, max_queue=args.max_queue,
         request_timeout_s=args.request_timeout_s, multi_lora=args.multi_lora,
+        deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
     )
     for spec in args.lora:
         name, _, path = spec.partition("=")

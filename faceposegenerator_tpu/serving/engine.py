@@ -112,6 +112,8 @@ class SamplerServer:
         request_timeout_s: Optional[float] = None,
         mesh=None,
         multi_lora: bool = False,
+        deepcache_interval: int = 1,
+        deepcache_depth: int = 1,
     ):
         """`mesh`: optional `jax.sharding.Mesh` — serve DATA-PARALLEL: the
         request batch is sharded over the mesh "data" axis, params/LoRAs
@@ -135,6 +137,9 @@ class SamplerServer:
         self.pipe = pipe
         self.mesh = mesh
         self.multi_lora = multi_lora
+        # opt-in DeepCache approximation (sampler docstring); 1 = exact
+        self.deepcache_interval = int(deepcache_interval)
+        self.deepcache_depth = int(deepcache_depth)
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
 
@@ -475,6 +480,8 @@ class SamplerServer:
             height=self.height, width=self.width, policy=pipe.policy,
             scheduler=self.scheduler, lora=lora_tree, lora_scale=lora_scale,
             noise_override=noise,
+            deepcache_interval=self.deepcache_interval,
+            deepcache_depth=self.deepcache_depth,
         )
         images = np.asarray(_quantize_u8(images))
         t1 = time.perf_counter()

@@ -113,3 +113,35 @@ def test_sampler_deepcache(setup):
     with pytest.raises(ValueError):
         sample(params, make_dpm_solver(num_inference_steps=6), ids, neg,
                jax.random.key(0), scheduler="dpm", deepcache_interval=2, **kw)
+
+
+def test_serving_deepcache_passthrough(setup):
+    """SamplerServer(deepcache_interval=k) serves the approximate program;
+    results deterministic per (prompt, seed) and distinct from exact."""
+    from faceposegenerator_tpu.data.tokenizer import CLIPTokenizer, bytes_to_unicode
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+    from faceposegenerator_tpu.serving import GenerationRequest, SamplerServer
+
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    tok = CLIPTokenizer(vocab, [], model_max_length=77)
+    pipe = StableDiffusionPipeline.from_random(models=TINY, tokenizer=tok)
+
+    exact = SamplerServer(pipe, batch_size=2, max_wait_s=0.02,
+                          num_inference_steps=4, height=64, width=64)
+    approx = SamplerServer(pipe, batch_size=2, max_wait_s=0.02,
+                           num_inference_steps=4, height=64, width=64,
+                           deepcache_interval=2)
+    try:
+        req = GenerationRequest(prompt="a face", seed=9)
+        a1 = approx.generate([req])[0]
+        a2 = approx.generate([req])[0]
+        np.testing.assert_array_equal(a1.image, a2.image)
+        e = exact.generate([req])[0]
+        assert np.abs(a1.image.astype(int) - e.image.astype(int)).max() >= 1
+    finally:
+        exact.shutdown(wait=False)
+        approx.shutdown(wait=False)
