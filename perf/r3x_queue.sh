@@ -1,11 +1,16 @@
 #!/bin/bash
-# Session-3 TPU queue, part D (chained after perf/r3w_queue.sh):
-#  - REDO of perf/r3u_sampler_options2.sh: the original run died in a
-#    TPU-unavailable window at its first variant (only "control" started;
-#    no output file). Remaining reachable proto-backed options applied on
-#    top of the baked sampler default (fusion cost model).
-#  - train_vmap4 retry at timeout 5400 (3600 was exceeded — the K=4
-#    vmapped train program's remote compile alone can pass an hour).
+# Session-3 TPU queue, part D (chained after perf/r3w_queue.sh).
+# REORDERED (session 4): DeepCache now runs HERE (was part F/r3z) so the
+# highest-expected-value results land first; the vmap retries + option
+# levers moved to r3z (last). Rationale: interval-2/3 DeepCache is the
+# only queued experiment with a >20% expected delta; the option levers
+# were all neutral in part 1 and the vmap4 retry alone can eat 90 min.
+#
+# DeepCache opt-in sampler acceleration (separate metric tag — the exact
+# default is untouched). Expected: partial step ≈ 55% of UNet FLOPs at
+# depth 1 (level-0 down+up blocks keep the expensive 4096-token
+# attention), so interval 2 ≈ +25-30%, interval 3 ≈ +35-45% over the
+# 2.08 img/s exact kernel; depth 2 trades more speed for more staleness.
 cd /root/repo
 OUT=perf/r3x_queue.jsonl
 run() {
@@ -17,16 +22,8 @@ run() {
     echo "{\"variant\": \"$tag\", \"error\": \"exit $?\"}" >> "$OUT"
   fi
 }
-run train_vmap4_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=4 BENCH_REPEATS=3
-# vmap2's r3v slot was consumed by the same TPU-unavailable window
-# (21:45-01:26, "TPU backend setup/compile error (Unavailable)") that
-# killed r3u — not by slow compile; re-measure
-run train_vmap2_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=2 BENCH_REPEATS=3
-# trimmed vs the lost r3u plan: part-1 options all measured neutral, so
-# keep only the 4 most plausible levers (control = the well-established
-# 2.084-2.086 default, re-measured in every recent queue)
-run dot_dot 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion":"true"}'
-run rwb_off 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_rwb_fusion":"false"}'
-run v2v_dma 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_vmem_to_vmem_dmas":"true"}'
-run licm_2 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_licm_size_inflation_ratio":"2.0"}'
+run dc2_d1 3600 BENCH_DEEPCACHE=2
+run dc3_d1 3600 BENCH_DEEPCACHE=3
+run dc5_d1 3600 BENCH_DEEPCACHE=5
+run dc3_d2 3600 BENCH_DEEPCACHE=3 BENCH_DEEPCACHE_DEPTH=2
 echo DONE_R3X >> /tmp/r3x_err.log

@@ -1,10 +1,15 @@
 #!/bin/bash
-# Session-3 TPU queue, part F (after perf/r3y_queue.sh): DeepCache opt-in
-# sampler acceleration (separate metric tag — the exact default is
-# untouched). Expected: partial step ≈ 55% of UNet FLOPs at depth 1
-# (level-0 down+up blocks keep the expensive 4096-token attention), so
-# interval 2 ≈ +25-30%, interval 3 ≈ +35-45% over the 2.08 img/s exact
-# kernel; depth 2 trades more speed for more staleness.
+# Session-3 TPU queue, part F (after perf/r3y_queue.sh).
+# REORDERED (session 4): this is the old part-D content (vmap train
+# retries + remaining XLA option levers); DeepCache moved up to r3x.
+#  - train_vmap4 retry at timeout 5400 (3600 was exceeded — the K=4
+#    vmapped train program's remote compile alone can pass an hour).
+#  - vmap2's r3v slot was consumed by the TPU-unavailable window
+#    (21:45-01:26, "TPU backend setup/compile error (Unavailable)") that
+#    killed r3u — not by slow compile; re-measure.
+#  - trimmed option sweep: part-1 options all measured neutral, so keep
+#    only the 4 most plausible levers (control = the well-established
+#    2.084-2.086 default, re-measured in every recent queue).
 cd /root/repo
 OUT=perf/r3z_queue.jsonl
 run() {
@@ -16,8 +21,10 @@ run() {
     echo "{\"variant\": \"$tag\", \"error\": \"exit $?\"}" >> "$OUT"
   fi
 }
-run dc2_d1 3600 BENCH_DEEPCACHE=2
-run dc3_d1 3600 BENCH_DEEPCACHE=3
-run dc5_d1 3600 BENCH_DEEPCACHE=5
-run dc3_d2 3600 BENCH_DEEPCACHE=3 BENCH_DEEPCACHE_DEPTH=2
+run train_vmap4_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=4 BENCH_REPEATS=3
+run train_vmap2_retry 5400 BENCH_KIND=train BENCH_BATCH=2 BENCH_REMAT=1 BENCH_VMAP_IDS=2 BENCH_REPEATS=3
+run dot_dot 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_dot_dot_fusion":"true"}'
+run rwb_off 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_rwb_fusion":"false"}'
+run v2v_dma 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_enable_vmem_to_vmem_dmas":"true"}'
+run licm_2 2400 XLA_COMPILER_OPTIONS='{"xla_tpu_licm_size_inflation_ratio":"2.0"}'
 echo DONE_R3Z >> /tmp/r3z_err.log
