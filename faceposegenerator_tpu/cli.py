@@ -707,7 +707,7 @@ def cmd_serve(argv):
         "--deepcache", type=int, default=1, metavar="K",
         help="OPT-IN DeepCache approximation: full UNet every K-th denoise "
              "step, shallow-blocks + cached-deep-feature splice otherwise "
-             "(1 = exact; ddpm only)",
+             "(1 = exact)",
     )
     ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args(argv)

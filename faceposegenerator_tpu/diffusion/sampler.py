@@ -92,7 +92,7 @@ def sample(
     feature at up_blocks[L-depth]; other steps recompute only the shallow
     `deepcache_depth` down blocks + last `deepcache_depth` up blocks and
     splice the cache (`unet2d.apply_cached` — DeepCache/Faster-Diffusion
-    style, see PAPERS.md). DDPM only.
+    style, see PAPERS.md). Supported for both schedulers (ddpm + dpm).
     """
     B = input_ids.shape[0]
     h, w = height // 8, width // 8
@@ -138,10 +138,7 @@ def sample(
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
-    if deepcache_interval > 1 and scheduler != "ddpm":
-        raise ValueError("deepcache_interval > 1 supports the ddpm scheduler only")
-
-    if scheduler == "ddpm" and deepcache_interval > 1:
+    if deepcache_interval > 1:
 
         def unet_eps_dc(x, t, cache):
             lat = jnp.concatenate([x, x], axis=0)
@@ -154,6 +151,8 @@ def sample(
             )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             return eps_u + guidance_scale * (eps_c - eps_u), cache
+
+    if scheduler == "ddpm" and deepcache_interval > 1:
 
         def step_noise(i):
             if noise_override is not None:
@@ -214,15 +213,40 @@ def sample(
             x = jax.lax.fori_loop(0, S, body, x)
 
     elif scheduler == "dpm":
-
-        def body(i, state):
-            t = schedule.timesteps[i]
-            eps = unet_eps(state[0], t)
-            state, _ = schedule.step(eps, i, state)
-            return state
-
         state = (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.int32(0))
-        x = jax.lax.fori_loop(0, S, body, state)[0]
+
+        if deepcache_interval > 1:
+            # step 0 outside the loop: full pass fixes the cache pytree
+            # structure for the loop carry (same pattern as the ddpm branch).
+            # DPM-Solver++ is deterministic (no per-step noise), so the
+            # cached-eps approximation composes with the multistep history
+            # (m1/m2) exactly as with diffusers' DeepCache on DPM schedulers.
+            eps0, cache = unet_eps_dc(x, schedule.timesteps[0], None)
+            state, _ = schedule.step(eps0, 0, state)
+
+            def body_dc(i, carry):
+                state, cache = carry
+                t = schedule.timesteps[i]
+                eps, cache = jax.lax.cond(
+                    i % deepcache_interval == 0,
+                    lambda x_, c_: unet_eps_dc(x_, t, None),
+                    lambda x_, c_: unet_eps_dc(x_, t, c_),
+                    state[0], cache,
+                )
+                state2, _ = schedule.step(eps, i, state)
+                return (state2, cache)
+
+            state, _ = jax.lax.fori_loop(1, S, body_dc, (state, cache))
+            x = state[0]
+        else:
+
+            def body(i, state):
+                t = schedule.timesteps[i]
+                eps = unet_eps(state[0], t)
+                state, _ = schedule.step(eps, i, state)
+                return state
+
+            x = jax.lax.fori_loop(0, S, body, state)[0]
 
     else:
         raise ValueError(scheduler)

@@ -107,12 +107,22 @@ def test_sampler_deepcache(setup):
     # ...but not garbage: same ballpark as the exact image
     assert np.abs(np.asarray(dc) - np.asarray(exact)).mean() < 0.2
 
-    # dpm + deepcache unsupported
+    # dpm + deepcache: deterministic, approximate, same-ballpark (the
+    # reference's validation sampler is DPM-Solver++,
+    # train_ID-Booth.py DPMSolverMultistepScheduler)
     from faceposegenerator_tpu.diffusion import make_dpm_solver
 
-    with pytest.raises(ValueError):
-        sample(params, make_dpm_solver(num_inference_steps=6), ids, neg,
-               jax.random.key(0), scheduler="dpm", deepcache_interval=2, **kw)
+    dpm_sched = make_dpm_solver(num_inference_steps=6)
+    dpm_exact = sample(params, dpm_sched, ids, neg, jax.random.key(0),
+                       scheduler="dpm", **kw)
+    dpm_dc = sample(params, dpm_sched, ids, neg, jax.random.key(0),
+                    scheduler="dpm", deepcache_interval=2, **kw)
+    dpm_dc2 = sample(params, dpm_sched, ids, neg, jax.random.key(0),
+                     scheduler="dpm", deepcache_interval=2, **kw)
+    np.testing.assert_array_equal(np.asarray(dpm_dc), np.asarray(dpm_dc2))
+    assert np.isfinite(np.asarray(dpm_dc)).all()
+    assert np.abs(np.asarray(dpm_dc) - np.asarray(dpm_exact)).max() > 1e-6
+    assert np.abs(np.asarray(dpm_dc) - np.asarray(dpm_exact)).mean() < 0.2
 
 
 def test_serving_deepcache_passthrough(setup):
