@@ -133,6 +133,13 @@ def cmd_generate(argv):
              "batches at the 3-variant x 21-prompt reference op point; "
              "cross-variant noise identity preserved per prompt)",
     )
+    ap.add_argument(
+        "--deepcache", type=int, default=1, metavar="K",
+        help="OPT-IN DeepCache approximation: full UNet every K-th denoise "
+             "step, shallow-blocks + cached-deep-feature splice otherwise "
+             "(1 = exact)",
+    )
+    ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -213,6 +220,7 @@ def cmd_generate(argv):
         num_prompts=args.num_prompts, num_inference_steps=args.steps,
         guidance_scale=args.guidance, batch_size=args.batch_size, seed=args.seed,
         on_images=on_images, pack_variants=args.pack_variants,
+        deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
     )
     if finish_eval is not None:
         finish_eval()

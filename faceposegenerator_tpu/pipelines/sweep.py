@@ -153,6 +153,8 @@ def run_sweep(
     variant_loras: Optional[Dict[str, dict]] = None,
     height: int = 512,
     width: int = 512,
+    deepcache_interval: int = 1,
+    deepcache_depth: int = 1,
 ):
     """Full sweep. `pipe` is a `StableDiffusionPipeline`; LoRA checkpoints
     live at `<lora_root>/<model>/<identity>/<checkpoint>`.
@@ -348,6 +350,8 @@ def run_sweep(
                 lora_scale=jnp.ones((len(chunk),), jnp.float32),
                 noise_override=noise,
                 output_type="jax_u8",
+                deepcache_interval=deepcache_interval,
+                deepcache_depth=deepcache_depth,
             )
             # mark trailing pad slots (only the LAST batch can have them)
             first_pad = len(chunk) - (
@@ -383,6 +387,8 @@ def run_sweep(
                         height=height, width=width,
                         seed=id_number,  # identity-index seed (:111)
                         output_type="jax_u8",  # stays on device until _drain
+                        deepcache_interval=deepcache_interval,
+                        deepcache_depth=deepcache_depth,
                     )
                     names = [
                         f"{identity}_{start + i:03d}.png" for i in range(len(chunk))
