@@ -8,8 +8,18 @@
 #    known-good 1.91 img/s serve number.
 cd /root/repo
 OUT=perf/r3w_queue.jsonl
+wait_tpu() {
+  # TPU-unavailable windows (hours long, e.g. 21:45-01:26) burn variant
+  # timeout slots; probe until the backend initializes before each run.
+  for i in $(seq 1 45); do
+    if timeout 180 python -c "import jax; jax.devices()[0]" >/dev/null 2>&1; then return 0; fi
+    echo "tpu unavailable, probe $i ($(date +%H:%M:%S))" >> /tmp/r3w_err.log
+    sleep 120
+  done
+}
 run() {
   tag="$1"; to="$2"; shift 2
+  wait_tpu
   echo "=== $tag ($(date +%H:%M:%S))" >> /tmp/r3w_err.log
   if out=$(timeout "$to" env "$@" python bench.py 2>>/tmp/r3w_err.log); then
     echo "${out%\}}, \"variant\": \"$tag\"}" >> "$OUT"
