@@ -607,6 +607,9 @@ def main():
     # Reported SEPARATELY from the exact default metric.
     dc = int(os.environ.get("BENCH_DEEPCACHE", "1"))
     dc_depth = int(os.environ.get("BENCH_DEEPCACHE_DEPTH", "1"))
+    # BENCH_TOME=0.5: OPT-IN ToMe token merging before >=4096-token UNet
+    # self-attention (ops/tome.py); composable with DEEPCACHE; 0 = exact.
+    tome = float(os.environ.get("BENCH_TOME", "0"))
 
     def run(key):
         return sample(
@@ -614,6 +617,7 @@ def main():
             models=models, guidance_scale=5.0, height=512, width=512,
             policy=policy, lora=lora, decode_chunk=decode_chunk,
             unroll=unroll, deepcache_interval=dc, deepcache_depth=dc_depth,
+            tome_ratio=tome,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready
@@ -632,6 +636,8 @@ def main():
     tag = f" ABLATE={ablate}" if ablate else ""
     if dc > 1:
         tag += f" DEEPCACHE={dc}/d{dc_depth}"
+    if tome > 0:
+        tag += f" TOME={tome}"
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),

@@ -52,6 +52,7 @@ class SamplerModels:
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
         "decode_chunk", "unroll", "deepcache_interval", "deepcache_depth",
+        "tome_ratio", "tome_min_tokens",
     ),
 )
 def sample(
@@ -74,6 +75,8 @@ def sample(
     unroll: int = 1,
     deepcache_interval: int = 1,
     deepcache_depth: int = 1,
+    tome_ratio: float = 0.0,
+    tome_min_tokens: int = 4096,
 ) -> jax.Array:
     """Generate images.
 
@@ -93,6 +96,10 @@ def sample(
     `deepcache_depth` down blocks + last `deepcache_depth` up blocks and
     splice the cache (`unet2d.apply_cached` — DeepCache/Faster-Diffusion
     style, see PAPERS.md). Supported for both schedulers (ddpm + dpm).
+
+    `tome_ratio > 0` (OPT-IN approximation, composable with DeepCache):
+    ToMe token merging before every ≥4096-token UNet self-attention
+    (`ops/tome.py`, arXiv:2303.17604); 0.0 = exact.
     """
     B = input_ids.shape[0]
     h, w = height // 8, width // 8
@@ -133,7 +140,8 @@ def sample(
             params["unet"], lat, jnp.broadcast_to(t, (2 * B,)), ctx,
             models.unet_cfg, policy=policy,
             lora=unet_lora, lora_scale=lora_scale,
-            attn_impl=models.attn_impl,
+            attn_impl=models.attn_impl, tome_ratio=tome_ratio,
+            tome_min_tokens=tome_min_tokens,
         )
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
@@ -146,7 +154,8 @@ def sample(
                 params["unet"], lat, jnp.broadcast_to(t, (2 * B,)), ctx,
                 models.unet_cfg, policy=policy,
                 lora=unet_lora, lora_scale=lora_scale,
-                attn_impl=models.attn_impl,
+                attn_impl=models.attn_impl, tome_ratio=tome_ratio,
+                tome_min_tokens=tome_min_tokens,
                 depth=deepcache_depth, cached=cache,
             )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)

@@ -346,9 +346,19 @@ def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="
     return proj("out", o)
 
 
-def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, attn_impl="auto", ctx_len=None):
+def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, attn_impl="auto", ctx_len=None,
+                       tome_ratio=0.0, tome_min_tokens=4096):
     b, hh, ww, c = x.shape
     res = x
+    # ToMe (ops/tome.py, opt-in): merge the most-redundant tokens before the
+    # level-0 self-attention, copy outputs back after. Gate on token count so
+    # one knob threads uniformly through every level (512²: only 64²=4096
+    # qualifies at the default threshold).
+    tome_r = 0
+    if tome_ratio > 0.0 and hh * ww >= tome_min_tokens:
+        from ..ops import tome as _tome
+
+        tome_r = _tome.merge_count(hh * ww, tome_ratio)
     h = group_norm(x, p["norm"]["g"], p["norm"]["b"], num_groups=cfg.norm_groups, eps=1e-6)
     h = h.reshape(b, hh * ww, c)
     h = lora_dense(h, p["proj_in"]["w"], p["proj_in"]["b"])
@@ -356,11 +366,23 @@ def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, at
         blora = None if lora is None else lora["blocks"][i]
         r = h
         hn = layer_norm(h, blk["ln1"]["g"], blk["ln1"]["b"])
-        h = r + _attention_apply(
-            blk["attn1"], hn, hn, cfg.head_dim,
-            lora=None if blora is None else blora["attn1"],
-            lora_scale=lora_scale, attn_impl=attn_impl,
-        )
+        if tome_r > 0:
+            m = _tome.build_match(h, hh, ww, tome_r)  # metric = block input
+            hm = _tome.merge(hn, m)  # ONE object: keeps the fused-qkv path
+            h = r + _tome.unmerge(
+                _attention_apply(
+                    blk["attn1"], hm, hm, cfg.head_dim,
+                    lora=None if blora is None else blora["attn1"],
+                    lora_scale=lora_scale, attn_impl=attn_impl,
+                ),
+                m,
+            )
+        else:
+            h = r + _attention_apply(
+                blk["attn1"], hn, hn, cfg.head_dim,
+                lora=None if blora is None else blora["attn1"],
+                lora_scale=lora_scale, attn_impl=attn_impl,
+            )
         r = h
         hn = layer_norm(h, blk["ln2"]["g"], blk["ln2"]["b"])
         h = r + _attention_apply(
@@ -400,11 +422,15 @@ def apply(
     attn_impl: str = "auto",
     ctx_len: Optional[int] = None,
     remat: bool = False,
+    tome_ratio: float = 0.0,
+    tome_min_tokens: int = 4096,
 ) -> jax.Array:
     """Predict noise ε̂.
 
     latents: (B, H, W, 4) NHWC; timesteps: (B,) or scalar int;
     encoder_hidden_states: (B, 77, 1024) CLIP conditioning.
+    `tome_ratio > 0` (OPT-IN approximation) merges that fraction of tokens
+    before each ≥4096-token self-attention (ops/tome.py); 0.0 is exact.
     """
     x = latents.astype(policy.compute_dtype)
     ctx = encoder_hidden_states.astype(policy.compute_dtype)
@@ -435,6 +461,7 @@ def apply(
                         block["attentions"][j], h, ctx, cfg,
                         lora=None if blora is None else blora["attentions"][j],
                         lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                        tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
                     )
                 return h
 
@@ -455,6 +482,7 @@ def apply(
             mid["attentions"][0], h, ctx, cfg,
             lora=None if mlora is None else mlora["attentions"][0],
             lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
         )
         return _resblock_apply(mid["resnets"][1], h, temb, policy, cfg.norm_groups)
 
@@ -474,6 +502,7 @@ def apply(
                         block["attentions"][j], h, ctx, cfg,
                         lora=None if blora is None else blora["attentions"][j],
                         lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                        tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
                     )
                 return h
 
@@ -504,6 +533,8 @@ def apply_cached(
     ctx_len: Optional[int] = None,
     depth: int = 1,
     cached: Optional[jax.Array] = None,
+    tome_ratio: float = 0.0,
+    tome_min_tokens: int = 4096,
 ):
     """ε̂ with a DeepCache-style deep-feature cache (opt-in approximation;
     `apply` stays the exact default).
@@ -550,6 +581,7 @@ def apply_cached(
                 block["attentions"][j], h, ctx, cfg,
                 lora=None if blora is None else blora["attentions"][j],
                 lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
             )
         return h
 
@@ -579,6 +611,7 @@ def apply_cached(
             mid["attentions"][0], h, ctx, cfg,
             lora=None if mlora is None else mlora["attentions"][0],
             lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
         )
         x = _resblock_apply(mid["resnets"][1], h, temb, policy, cfg.norm_groups)
         first_up = 0
@@ -600,6 +633,7 @@ def apply_cached(
                     block["attentions"][j], h, ctx, cfg,
                     lora=None if blora is None else blora["attentions"][j],
                     lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
+                    tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
                 )
             x = h
         if block["upsample"] is not None:

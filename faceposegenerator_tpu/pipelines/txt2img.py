@@ -160,6 +160,8 @@ class StableDiffusionPipeline:
         noise_override: Optional[jax.Array] = None,
         deepcache_interval: int = 1,
         deepcache_depth: int = 1,
+        tome_ratio: float = 0.0,
+        tome_min_tokens: int = 4096,
     ):
         """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax).
 
@@ -243,6 +245,7 @@ class StableDiffusionPipeline:
             noise_override=noise_override,
             deepcache_interval=deepcache_interval,
             deepcache_depth=deepcache_depth,
+            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
         )
         if output_type in ("u8", "jax_u8"):
             # device-side quantize: the sweep/serving consumers want uint8;
