@@ -140,6 +140,11 @@ def cmd_generate(argv):
              "(1 = exact)",
     )
     ap.add_argument("--deepcache_depth", type=int, default=1)
+    ap.add_argument(
+        "--tome", type=float, default=0.0, metavar="RATIO",
+        help="OPT-IN ToMe token merging before >=4096-token UNet "
+             "self-attention (0.0 = exact; composable with --deepcache)",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -221,6 +226,7 @@ def cmd_generate(argv):
         guidance_scale=args.guidance, batch_size=args.batch_size, seed=args.seed,
         on_images=on_images, pack_variants=args.pack_variants,
         deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
+        tome_ratio=args.tome,
     )
     if finish_eval is not None:
         finish_eval()
@@ -718,6 +724,11 @@ def cmd_serve(argv):
              "(1 = exact)",
     )
     ap.add_argument("--deepcache_depth", type=int, default=1)
+    ap.add_argument(
+        "--tome", type=float, default=0.0, metavar="RATIO",
+        help="OPT-IN ToMe token merging before >=4096-token UNet "
+             "self-attention (0.0 = exact; composable with --deepcache)",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -741,6 +752,7 @@ def cmd_serve(argv):
         mesh=mesh, max_queue=args.max_queue,
         request_timeout_s=args.request_timeout_s, multi_lora=args.multi_lora,
         deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
+        tome_ratio=args.tome,
     )
     for spec in args.lora:
         name, _, path = spec.partition("=")

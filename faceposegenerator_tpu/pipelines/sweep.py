@@ -155,6 +155,7 @@ def run_sweep(
     width: int = 512,
     deepcache_interval: int = 1,
     deepcache_depth: int = 1,
+    tome_ratio: float = 0.0,
 ):
     """Full sweep. `pipe` is a `StableDiffusionPipeline`; LoRA checkpoints
     live at `<lora_root>/<model>/<identity>/<checkpoint>`.
@@ -352,6 +353,7 @@ def run_sweep(
                 output_type="jax_u8",
                 deepcache_interval=deepcache_interval,
                 deepcache_depth=deepcache_depth,
+                tome_ratio=tome_ratio,
             )
             # mark trailing pad slots (only the LAST batch can have them)
             first_pad = len(chunk) - (
@@ -389,6 +391,7 @@ def run_sweep(
                         output_type="jax_u8",  # stays on device until _drain
                         deepcache_interval=deepcache_interval,
                         deepcache_depth=deepcache_depth,
+                        tome_ratio=tome_ratio,
                     )
                     names = [
                         f"{identity}_{start + i:03d}.png" for i in range(len(chunk))

@@ -114,6 +114,7 @@ class SamplerServer:
         multi_lora: bool = False,
         deepcache_interval: int = 1,
         deepcache_depth: int = 1,
+        tome_ratio: float = 0.0,
     ):
         """`mesh`: optional `jax.sharding.Mesh` — serve DATA-PARALLEL: the
         request batch is sharded over the mesh "data" axis, params/LoRAs
@@ -140,6 +141,8 @@ class SamplerServer:
         # opt-in DeepCache approximation (sampler docstring); 1 = exact
         self.deepcache_interval = int(deepcache_interval)
         self.deepcache_depth = int(deepcache_depth)
+        # opt-in ToMe token merging (ops/tome.py); 0.0 = exact
+        self.tome_ratio = float(tome_ratio)
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
 
@@ -482,6 +485,7 @@ class SamplerServer:
             noise_override=noise,
             deepcache_interval=self.deepcache_interval,
             deepcache_depth=self.deepcache_depth,
+            tome_ratio=self.tome_ratio,
         )
         images = np.asarray(_quantize_u8(images))
         t1 = time.perf_counter()
