@@ -8,7 +8,7 @@
 cd /root/repo
 OUT=perf/r3aa_queue.jsonl
 wait_tpu() {
-  for i in $(seq 1 45); do
+  for i in $(seq 1 180); do
     if timeout 180 python -c "import jax; jax.devices()[0]" >/dev/null 2>&1; then return 0; fi
     echo "tpu unavailable, probe $i ($(date +%H:%M:%S))" >> /tmp/r3aa_err.log
     sleep 120

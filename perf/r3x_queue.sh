@@ -16,7 +16,7 @@ OUT=perf/r3x_queue.jsonl
 wait_tpu() {
   # TPU-unavailable windows (hours long, e.g. 21:45-01:26) burn variant
   # timeout slots; probe until the backend initializes before each run.
-  for i in $(seq 1 45); do
+  for i in $(seq 1 180); do
     if timeout 180 python -c "import jax; jax.devices()[0]" >/dev/null 2>&1; then return 0; fi
     echo "tpu unavailable, probe $i ($(date +%H:%M:%S))" >> /tmp/r3x_err.log
     sleep 120
