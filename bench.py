@@ -610,6 +610,7 @@ def main():
     # BENCH_TOME=0.5: OPT-IN ToMe token merging before >=4096-token UNet
     # self-attention (ops/tome.py); composable with DEEPCACHE; 0 = exact.
     tome = float(os.environ.get("BENCH_TOME", "0"))
+    tome_ops = os.environ.get("BENCH_TOME_OPS", "attn")  # attn[+xattn][+mlp]
 
     def run(key):
         return sample(
@@ -617,7 +618,7 @@ def main():
             models=models, guidance_scale=5.0, height=512, width=512,
             policy=policy, lora=lora, decode_chunk=decode_chunk,
             unroll=unroll, deepcache_interval=dc, deepcache_depth=dc_depth,
-            tome_ratio=tome,
+            tome_ratio=tome, tome_ops=tome_ops,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready
@@ -637,7 +638,7 @@ def main():
     if dc > 1:
         tag += f" DEEPCACHE={dc}/d{dc_depth}"
     if tome > 0:
-        tag += f" TOME={tome}"
+        tag += f" TOME={tome}/{tome_ops}"
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),

@@ -52,7 +52,7 @@ class SamplerModels:
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
         "decode_chunk", "unroll", "deepcache_interval", "deepcache_depth",
-        "tome_ratio", "tome_min_tokens",
+        "tome_ratio", "tome_min_tokens", "tome_ops",
     ),
 )
 def sample(
@@ -77,6 +77,7 @@ def sample(
     deepcache_depth: int = 1,
     tome_ratio: float = 0.0,
     tome_min_tokens: int = 4096,
+    tome_ops: str = "attn",
 ) -> jax.Array:
     """Generate images.
 
@@ -141,7 +142,7 @@ def sample(
             models.unet_cfg, policy=policy,
             lora=unet_lora, lora_scale=lora_scale,
             attn_impl=models.attn_impl, tome_ratio=tome_ratio,
-            tome_min_tokens=tome_min_tokens,
+            tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
         )
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
@@ -155,7 +156,7 @@ def sample(
                 models.unet_cfg, policy=policy,
                 lora=unet_lora, lora_scale=lora_scale,
                 attn_impl=models.attn_impl, tome_ratio=tome_ratio,
-                tome_min_tokens=tome_min_tokens,
+                tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
                 depth=deepcache_depth, cached=cache,
             )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)

@@ -347,13 +347,17 @@ def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="
 
 
 def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, attn_impl="auto", ctx_len=None,
-                       tome_ratio=0.0, tome_min_tokens=4096):
+                       tome_ratio=0.0, tome_min_tokens=4096, tome_ops="attn"):
     b, hh, ww, c = x.shape
     res = x
     # ToMe (ops/tome.py, opt-in): merge the most-redundant tokens before the
-    # level-0 self-attention, copy outputs back after. Gate on token count so
-    # one knob threads uniformly through every level (512²: only 64²=4096
-    # qualifies at the default threshold).
+    # level-0 transformer ops, copy outputs back after. Gate on token count
+    # so one knob threads uniformly through every level (512²: only 64²=4096
+    # qualifies at the default threshold). `tome_ops` selects which ops run
+    # on the merged set (tomesd's merge_attn/merge_crossattn/merge_mlp):
+    # "attn" (default, upstream's quality-safe choice), plus "xattn" and/or
+    # "mlp" — ONE matching per block (computed from the block input) is
+    # reused by all selected ops, exactly as upstream does.
     tome_r = 0
     if tome_ratio > 0.0 and hh * ww >= tome_min_tokens:
         from ..ops import tome as _tome
@@ -364,10 +368,11 @@ def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, at
     h = lora_dense(h, p["proj_in"]["w"], p["proj_in"]["b"])
     for i, blk in enumerate(p["blocks"]):
         blora = None if lora is None else lora["blocks"][i]
+        m = _tome.build_match(h, hh, ww, tome_r) if tome_r > 0 else None
+
         r = h
         hn = layer_norm(h, blk["ln1"]["g"], blk["ln1"]["b"])
-        if tome_r > 0:
-            m = _tome.build_match(h, hh, ww, tome_r)  # metric = block input
+        if m is not None:
             hm = _tome.merge(hn, m)  # ONE object: keeps the fused-qkv path
             h = r + _tome.unmerge(
                 _attention_apply(
@@ -385,17 +390,32 @@ def _transformer_apply(p, x, ctx, cfg: UNetConfig, lora=None, lora_scale=1.0, at
             )
         r = h
         hn = layer_norm(h, blk["ln2"]["g"], blk["ln2"]["b"])
-        h = r + _attention_apply(
-            blk["attn2"], hn, ctx, cfg.head_dim,
-            lora=None if blora is None else blora["attn2"],
-            lora_scale=lora_scale, attn_impl=attn_impl, kv_len=ctx_len,
-        )
+        if m is not None and "xattn" in tome_ops:
+            h = r + _tome.unmerge(
+                _attention_apply(
+                    blk["attn2"], _tome.merge(hn, m), ctx, cfg.head_dim,
+                    lora=None if blora is None else blora["attn2"],
+                    lora_scale=lora_scale, attn_impl=attn_impl, kv_len=ctx_len,
+                ),
+                m,
+            )
+        else:
+            h = r + _attention_apply(
+                blk["attn2"], hn, ctx, cfg.head_dim,
+                lora=None if blora is None else blora["attn2"],
+                lora_scale=lora_scale, attn_impl=attn_impl, kv_len=ctx_len,
+            )
         r = h
         hn = layer_norm(h, blk["ln3"]["g"], blk["ln3"]["b"])
+        if m is not None and "mlp" in tome_ops:
+            hn = _tome.merge(hn, m)
         ff = lora_dense(hn, blk["ff_in"]["w"], blk["ff_in"]["b"])
         # GEGLU: first half is the value, second half is the gelu gate
         val, gate = jnp.split(ff, 2, axis=-1)
-        h = r + lora_dense(val * jax.nn.gelu(gate, approximate=False), blk["ff_out"]["w"], blk["ff_out"]["b"])
+        ff_out = lora_dense(val * jax.nn.gelu(gate, approximate=False), blk["ff_out"]["w"], blk["ff_out"]["b"])
+        if m is not None and "mlp" in tome_ops:
+            ff_out = _tome.unmerge(ff_out, m)
+        h = r + ff_out
     h = lora_dense(h, p["proj_out"]["w"], p["proj_out"]["b"])
     return res + h.reshape(b, hh, ww, c)
 
@@ -424,6 +444,7 @@ def apply(
     remat: bool = False,
     tome_ratio: float = 0.0,
     tome_min_tokens: int = 4096,
+    tome_ops: str = "attn",
 ) -> jax.Array:
     """Predict noise ε̂.
 
@@ -461,7 +482,7 @@ def apply(
                         block["attentions"][j], h, ctx, cfg,
                         lora=None if blora is None else blora["attentions"][j],
                         lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
-                        tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+                        tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
                     )
                 return h
 
@@ -482,7 +503,7 @@ def apply(
             mid["attentions"][0], h, ctx, cfg,
             lora=None if mlora is None else mlora["attentions"][0],
             lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
-            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
         )
         return _resblock_apply(mid["resnets"][1], h, temb, policy, cfg.norm_groups)
 
@@ -502,7 +523,7 @@ def apply(
                         block["attentions"][j], h, ctx, cfg,
                         lora=None if blora is None else blora["attentions"][j],
                         lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
-                        tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+                        tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
                     )
                 return h
 
@@ -535,6 +556,7 @@ def apply_cached(
     cached: Optional[jax.Array] = None,
     tome_ratio: float = 0.0,
     tome_min_tokens: int = 4096,
+    tome_ops: str = "attn",
 ):
     """ε̂ with a DeepCache-style deep-feature cache (opt-in approximation;
     `apply` stays the exact default).
@@ -581,7 +603,7 @@ def apply_cached(
                 block["attentions"][j], h, ctx, cfg,
                 lora=None if blora is None else blora["attentions"][j],
                 lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
-                tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+                tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
             )
         return h
 
@@ -611,7 +633,7 @@ def apply_cached(
             mid["attentions"][0], h, ctx, cfg,
             lora=None if mlora is None else mlora["attentions"][0],
             lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
-            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
         )
         x = _resblock_apply(mid["resnets"][1], h, temb, policy, cfg.norm_groups)
         first_up = 0
@@ -633,7 +655,7 @@ def apply_cached(
                     block["attentions"][j], h, ctx, cfg,
                     lora=None if blora is None else blora["attentions"][j],
                     lora_scale=lora_scale, attn_impl=attn_impl, ctx_len=ctx_len,
-                    tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+                    tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
                 )
             x = h
         if block["upsample"] is not None:

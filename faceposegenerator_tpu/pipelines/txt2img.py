@@ -162,6 +162,7 @@ class StableDiffusionPipeline:
         deepcache_depth: int = 1,
         tome_ratio: float = 0.0,
         tome_min_tokens: int = 4096,
+        tome_ops: str = "attn",
     ):
         """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax).
 
@@ -246,6 +247,7 @@ class StableDiffusionPipeline:
             deepcache_interval=deepcache_interval,
             deepcache_depth=deepcache_depth,
             tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+            tome_ops=tome_ops,
         )
         if output_type in ("u8", "jax_u8"):
             # device-side quantize: the sweep/serving consumers want uint8;

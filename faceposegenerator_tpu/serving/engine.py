@@ -115,6 +115,7 @@ class SamplerServer:
         deepcache_interval: int = 1,
         deepcache_depth: int = 1,
         tome_ratio: float = 0.0,
+        tome_ops: str = "attn",
     ):
         """`mesh`: optional `jax.sharding.Mesh` — serve DATA-PARALLEL: the
         request batch is sharded over the mesh "data" axis, params/LoRAs
@@ -143,6 +144,7 @@ class SamplerServer:
         self.deepcache_depth = int(deepcache_depth)
         # opt-in ToMe token merging (ops/tome.py); 0.0 = exact
         self.tome_ratio = float(tome_ratio)
+        self.tome_ops = str(tome_ops)
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
 
@@ -485,7 +487,7 @@ class SamplerServer:
             noise_override=noise,
             deepcache_interval=self.deepcache_interval,
             deepcache_depth=self.deepcache_depth,
-            tome_ratio=self.tome_ratio,
+            tome_ratio=self.tome_ratio, tome_ops=self.tome_ops,
         )
         images = np.asarray(_quantize_u8(images))
         t1 = time.perf_counter()

@@ -25,6 +25,7 @@ run() {
   fi
 }
 run tome05 3600 BENCH_TOME=0.5
+run tome05_full 3600 BENCH_TOME=0.5 BENCH_TOME_OPS=attn+xattn+mlp
 run tome03 3600 BENCH_TOME=0.3
 run tome05_dc3 3600 BENCH_TOME=0.5 BENCH_DEEPCACHE=3
 echo DONE_R3AA >> /tmp/r3aa_err.log

@@ -108,6 +108,33 @@ def test_unet_tome_approximates_exact():
     assert rel < 0.5               # ...but output stays in the same regime
 
 
+def test_tome_ops_extended():
+    """tome_ops="attn+xattn+mlp" (tomesd's merge_crossattn/merge_mlp flags):
+    each added op changes the output further; all stay finite/deterministic;
+    default "attn" is unchanged by the knob's existence."""
+    from faceposegenerator_tpu.models import unet2d
+
+    cfg = unet2d.UNetConfig(
+        block_out_channels=(32, 64, 64, 64), cross_attention_dim=48, head_dim=8
+    )
+    params = unet2d.init(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(2), (2, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.key(3), (2, 77, 48))
+    t = jnp.asarray([7, 7])
+    kw = dict(tome_ratio=0.5, tome_min_tokens=16)
+
+    attn_only = unet2d.apply(params, z, t, ctx, cfg, tome_ops="attn", **kw)
+    full = unet2d.apply(params, z, t, ctx, cfg, tome_ops="attn+xattn+mlp", **kw)
+    full2 = unet2d.apply(params, z, t, ctx, cfg, tome_ops="attn+xattn+mlp", **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(full2))
+    assert np.isfinite(np.asarray(full)).all()
+    assert np.abs(np.asarray(full) - np.asarray(attn_only)).max() > 1e-6
+    exact = unet2d.apply(params, z, t, ctx, cfg)
+    rel = (np.abs(np.asarray(full) - np.asarray(exact)).mean()
+           / (np.abs(np.asarray(exact)).mean() + 1e-9))
+    assert rel < 0.5
+
+
 def test_sampler_tome_integration():
     from faceposegenerator_tpu.diffusion import make_ddpm
     from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
