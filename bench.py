@@ -9,9 +9,10 @@ JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 30),
 BENCH_REPEATS (default 3), BENCH_ATTN (auto|flash|reference),
-BENCH_KIND (sample [default] | train | embed | sweep | serve — the BASELINE.md
-configs: txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace embed
-extraction, synthesis sweep + pose/FIQA eval harness),
+BENCH_KIND (sample [default] | train | embed | sweep | serve | latency — the
+BASELINE.md configs: txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace
+embed extraction, synthesis sweep + pose/FIQA eval harness, plus true batch-1
+p50 latency with the optional parallel-in-time sampler BENCH_PARA_WINDOW),
 BENCH_ABLATE (no_attn|no_xf|no_gn|no_vae time-attribution variants).
 """
 
@@ -544,6 +545,82 @@ def bench_serve(batch: int, steps: int, repeats: int):
     }
 
 
+def bench_latency(steps: int, repeats: int):
+    """True batch-1 per-image latency (BASELINE.md: "p50 per-image latency
+    tracked alongside throughput"). The reference's real op point is ONE
+    image per pipe() call (`inference_ID-Booth.py:138`); the throughput
+    bench's p50 divides a batch time by the batch, which hides the
+    sequential-depth cost a single request actually pays.
+
+    BENCH_PARA_WINDOW=W (>0) switches to the parallel-in-time Picard sampler
+    (`diffusion/parallel_sampler.py`, ParaDiGMS arXiv:2305.16317) with
+    BENCH_PARA_TOL tolerance (default 0.1) — the opt-in latency lever that
+    spends idle MXU capacity on a W-wide window of future steps. Reports the
+    executed Picard iteration count (sequential depth) alongside the time.
+    """
+    from faceposegenerator_tpu.core.precision import Policy
+    from faceposegenerator_tpu.diffusion import make_ddpm
+    from faceposegenerator_tpu.diffusion.parallel_sampler import sample_parallel
+    from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
+    from faceposegenerator_tpu.models import clip_text, unet2d, vae
+
+    window = int(os.environ.get("BENCH_PARA_WINDOW", "0"))
+    tol = float(os.environ.get("BENCH_PARA_TOL", "0.1"))
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    models = SamplerModels(attn_impl=os.environ.get("BENCH_ATTN", "auto"))
+    params = {
+        "text_encoder": clip_text.init(jax.random.key(0), models.text_cfg, dtype=jnp.bfloat16),
+        "unet": unet2d.init(jax.random.key(1), models.unet_cfg, dtype=jnp.bfloat16),
+        "vae": vae.init(jax.random.key(2), models.vae_cfg, dtype=jnp.bfloat16),
+    }
+    lora = {
+        "unet": unet2d.init_lora(jax.random.key(3), params["unet"], rank=4, dtype=jnp.bfloat16),
+        "text_encoder": None,
+    }
+    sched = make_ddpm(num_inference_steps=steps)
+    ids = jax.random.randint(jax.random.key(4), (1, 77), 0, 49408)
+    neg = jnp.zeros_like(ids)
+    kw = dict(models=models, guidance_scale=5.0, height=512, width=512,
+              policy=policy, lora=lora)
+
+    def run(key):
+        if window > 0:
+            img, iters = sample_parallel(
+                params, sched, ids, neg, key,
+                window=window, tolerance=tol, return_stats=True, **kw,
+            )
+            return img, iters
+        return sample(params, sched, ids, neg, key, **kw), None
+
+    img, iters = run(jax.random.key(0))
+    float(jnp.sum(img))  # compile + settle (host fetch: axon block_until_ready lies)
+
+    times, iter_counts = [], []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        img, iters = run(jax.random.key(i + 1))
+        float(jnp.sum(img))
+        times.append(time.perf_counter() - t0)
+        if iters is not None:
+            iter_counts.append(int(iters))
+
+    times.sort()
+    p50 = times[len(times) // 2]
+    tag = f" PARA={window}/tol{tol}" if window > 0 else " sequential"
+    return {
+        "metric": f"p50 batch-1 latency 512x512 {steps}-step DDPM+CFG SD2.1+LoRA{tag}",
+        "value": round(p50, 3),
+        "unit": "s/img",
+        "vs_baseline": round(p50, 3),
+        "extra": {
+            "times_s": [round(t, 3) for t in times],
+            "best_s": round(times[0], 3),
+            "picard_iters": iter_counts or None,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def main():
     from faceposegenerator_tpu.core.precision import Policy
     from faceposegenerator_tpu.diffusion import make_ddpm
@@ -577,6 +654,9 @@ def main():
         return
     if kind == "fr":
         print(json.dumps(bench_fr(int(os.environ.get("BENCH_BATCH", "128")), repeats)))
+        return
+    if kind == "latency":
+        print(json.dumps(bench_latency(steps, max(repeats, 5))))
         return
 
     ablate = os.environ.get("BENCH_ABLATE", "")

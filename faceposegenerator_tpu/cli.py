@@ -729,6 +729,14 @@ def cmd_serve(argv):
         help="OPT-IN ToMe token merging before >=4096-token UNet "
              "self-attention (0.0 = exact; composable with --deepcache)",
     )
+    ap.add_argument(
+        "--parallel_window", type=int, default=0, metavar="W",
+        help="OPT-IN latency mode: parallel-in-time Picard sampling over a "
+             "W-step window (diffusion/parallel_sampler.py; ddpm only). "
+             "Meant for --batch_size 1; with --data_parallel the WINDOW "
+             "shards over the mesh (more chips on one image)",
+    )
+    ap.add_argument("--parallel_tol", type=float, default=0.1)
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -753,6 +761,7 @@ def cmd_serve(argv):
         request_timeout_s=args.request_timeout_s, multi_lora=args.multi_lora,
         deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
         tome_ratio=args.tome,
+        parallel_window=args.parallel_window, parallel_tolerance=args.parallel_tol,
     )
     for spec in args.lora:
         name, _, path = spec.partition("=")

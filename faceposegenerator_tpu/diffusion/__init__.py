@@ -5,3 +5,4 @@ from .schedulers import (
     make_ddpm,
     make_dpm_solver,
 )
+from .parallel_sampler import sample_parallel

@@ -163,8 +163,15 @@ class StableDiffusionPipeline:
         tome_ratio: float = 0.0,
         tome_min_tokens: int = 4096,
         tome_ops: str = "attn",
+        parallel_window: int = 0,
+        parallel_tolerance: float = 0.1,
     ):
         """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax).
+
+        `parallel_window=W > 0` (DDPM only): parallel-in-time Picard sampling
+        (`diffusion/parallel_sampler.py`) — the batch-1 latency lever. On a
+        mesh pipeline the WINDOW shards over "data" instead of the prompt
+        batch (more chips on one image).
 
         `lora`/`lora_scale`: per-call adapter override. Leaves may carry a
         leading request axis (B, r, in)/(B, out, r) with a (B,) scale —
@@ -191,7 +198,11 @@ class StableDiffusionPipeline:
         if key is None:
             key = sampler_key(seed if seed is not None else 0)
 
-        if self.mesh is not None:
+        use_parallel = parallel_window > 0
+        if use_parallel and self.scheduler_kind != "ddpm":
+            raise ValueError("parallel_window requires the ddpm scheduler")
+
+        if self.mesh is not None and not use_parallel:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..core.mesh import DATA_AXIS, replicate, shard_batch
@@ -238,17 +249,35 @@ class StableDiffusionPipeline:
             lora = {"unet": lora.get("unet"), "text_encoder": lora.get("text_encoder")}
             scale = lora_scale if lora_scale is not None else 1.0
 
-        images = sample(
-            self.params, sched, input_ids, negative_input_ids, key,
-            models=self.models, guidance_scale=float(guidance_scale),
-            height=height, width=width, policy=self.policy,
-            scheduler=self.scheduler_kind, lora=lora, lora_scale=scale,
-            noise_override=noise_override,
-            deepcache_interval=deepcache_interval,
-            deepcache_depth=deepcache_depth,
-            tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
-            tome_ops=tome_ops,
-        )
+        if use_parallel:
+            from ..diffusion.parallel_sampler import sample_parallel
+
+            if self.mesh is not None and lora is not None:
+                from ..core.mesh import replicate
+
+                lora = replicate(self.mesh, lora)
+            images = sample_parallel(
+                self.params, sched, input_ids, negative_input_ids, key,
+                models=self.models, guidance_scale=float(guidance_scale),
+                height=height, width=width, policy=self.policy,
+                lora=lora, lora_scale=scale, noise_override=noise_override,
+                window=parallel_window, tolerance=parallel_tolerance,
+                mesh=self.mesh,
+                tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+                tome_ops=tome_ops,
+            )
+        else:
+            images = sample(
+                self.params, sched, input_ids, negative_input_ids, key,
+                models=self.models, guidance_scale=float(guidance_scale),
+                height=height, width=width, policy=self.policy,
+                scheduler=self.scheduler_kind, lora=lora, lora_scale=scale,
+                noise_override=noise_override,
+                deepcache_interval=deepcache_interval,
+                deepcache_depth=deepcache_depth,
+                tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
+                tome_ops=tome_ops,
+            )
         if output_type in ("u8", "jax_u8"):
             # device-side quantize: the sweep/serving consumers want uint8;
             # transferring fp32 is 4× the bytes for discarded precision.

@@ -116,6 +116,8 @@ class SamplerServer:
         deepcache_depth: int = 1,
         tome_ratio: float = 0.0,
         tome_ops: str = "attn",
+        parallel_window: int = 0,
+        parallel_tolerance: float = 0.1,
     ):
         """`mesh`: optional `jax.sharding.Mesh` — serve DATA-PARALLEL: the
         request batch is sharded over the mesh "data" axis, params/LoRAs
@@ -145,6 +147,15 @@ class SamplerServer:
         # opt-in ToMe token merging (ops/tome.py); 0.0 = exact
         self.tome_ratio = float(tome_ratio)
         self.tome_ops = str(tome_ops)
+        # opt-in latency mode: parallel-in-time Picard sampling
+        # (diffusion/parallel_sampler.py) — meant for small batch_size
+        # (typically 1) where per-request latency, not throughput, is the
+        # target; on a mesh the step WINDOW shards over "data" instead of
+        # the request batch (more chips on one image)
+        self.parallel_window = int(parallel_window)
+        self.parallel_tolerance = float(parallel_tolerance)
+        if self.parallel_window > 0 and scheduler != "ddpm":
+            raise ValueError("parallel_window requires the ddpm scheduler")
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
 
@@ -471,7 +482,10 @@ class SamplerServer:
         ids = pipe.tokenize([r.prompt for r in padded])
         neg = pipe.tokenize([r.negative_prompt for r in padded])
         noise = self._per_request_noise([r.seed for r in padded])
-        ids, neg, noise = self._shard_inputs(ids, neg, noise)
+        if self.parallel_window == 0:
+            # in parallel-in-time mode the WINDOW shards over the mesh, so
+            # the request batch stays whole (sample_parallel places it)
+            ids, neg, noise = self._shard_inputs(ids, neg, noise)
         if self.multi_lora:
             lora_tree, lora_scale = self._stacked_lora(
                 tuple(r.lora_id for r in padded)
@@ -479,16 +493,29 @@ class SamplerServer:
         else:
             lora_tree, lora_scale = self._loras[reqs[0].lora_id]
 
-        images = sample(
-            self._params, self._schedule, ids, neg, sampler_key(0),
-            models=pipe.models, guidance_scale=self.guidance_scale,
-            height=self.height, width=self.width, policy=pipe.policy,
-            scheduler=self.scheduler, lora=lora_tree, lora_scale=lora_scale,
-            noise_override=noise,
-            deepcache_interval=self.deepcache_interval,
-            deepcache_depth=self.deepcache_depth,
-            tome_ratio=self.tome_ratio, tome_ops=self.tome_ops,
-        )
+        if self.parallel_window > 0:
+            from ..diffusion.parallel_sampler import sample_parallel
+
+            images = sample_parallel(
+                self._params, self._schedule, ids, neg, sampler_key(0),
+                models=pipe.models, guidance_scale=self.guidance_scale,
+                height=self.height, width=self.width, policy=pipe.policy,
+                lora=lora_tree, lora_scale=lora_scale, noise_override=noise,
+                window=self.parallel_window,
+                tolerance=self.parallel_tolerance, mesh=self.mesh,
+                tome_ratio=self.tome_ratio, tome_ops=self.tome_ops,
+            )
+        else:
+            images = sample(
+                self._params, self._schedule, ids, neg, sampler_key(0),
+                models=pipe.models, guidance_scale=self.guidance_scale,
+                height=self.height, width=self.width, policy=pipe.policy,
+                scheduler=self.scheduler, lora=lora_tree, lora_scale=lora_scale,
+                noise_override=noise,
+                deepcache_interval=self.deepcache_interval,
+                deepcache_depth=self.deepcache_depth,
+                tome_ratio=self.tome_ratio, tome_ops=self.tome_ops,
+            )
         images = np.asarray(_quantize_u8(images))
         t1 = time.perf_counter()
 
