@@ -691,6 +691,10 @@ def main():
     # self-attention (ops/tome.py); composable with DEEPCACHE; 0 = exact.
     tome = float(os.environ.get("BENCH_TOME", "0"))
     tome_ops = os.environ.get("BENCH_TOME_OPS", "attn")  # attn[+xattn][+mlp]
+    # BENCH_CFG_INTERVAL="i0:i1": OPT-IN guidance interval (arXiv:2404.07724)
+    # — CFG only at step indices [i0, i1); cond-only half-batch UNet outside.
+    cfg_iv = os.environ.get("BENCH_CFG_INTERVAL", "")
+    cfg_interval = tuple(int(v) for v in cfg_iv.split(":")) if cfg_iv else None
 
     def run(key):
         return sample(
@@ -698,7 +702,7 @@ def main():
             models=models, guidance_scale=5.0, height=512, width=512,
             policy=policy, lora=lora, decode_chunk=decode_chunk,
             unroll=unroll, deepcache_interval=dc, deepcache_depth=dc_depth,
-            tome_ratio=tome, tome_ops=tome_ops,
+            tome_ratio=tome, tome_ops=tome_ops, cfg_interval=cfg_interval,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready
@@ -719,6 +723,8 @@ def main():
         tag += f" DEEPCACHE={dc}/d{dc_depth}"
     if tome > 0:
         tag += f" TOME={tome}/{tome_ops}"
+    if cfg_interval is not None:
+        tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),

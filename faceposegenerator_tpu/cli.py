@@ -101,6 +101,14 @@ def cmd_train_idbooth(argv):
     )
 
 
+def _parse_interval(spec):
+    """"I0:I1" → (int, int) step-index guidance interval, or None."""
+    if spec is None:
+        return None
+    lo, _, hi = str(spec).partition(":")
+    return (int(lo), int(hi))
+
+
 def cmd_generate(argv):
     ap = argparse.ArgumentParser(prog="generate")
     _add_common(ap)
@@ -144,6 +152,11 @@ def cmd_generate(argv):
         "--tome", type=float, default=0.0, metavar="RATIO",
         help="OPT-IN ToMe token merging before >=4096-token UNet "
              "self-attention (0.0 = exact; composable with --deepcache)",
+    )
+    ap.add_argument(
+        "--cfg_interval", default=None, metavar="I0:I1",
+        help="OPT-IN guidance interval (arXiv:2404.07724): apply CFG only "
+             "at step indices [I0, I1); cond-only half-batch UNet outside",
     )
     args = ap.parse_args(argv)
 
@@ -226,7 +239,7 @@ def cmd_generate(argv):
         guidance_scale=args.guidance, batch_size=args.batch_size, seed=args.seed,
         on_images=on_images, pack_variants=args.pack_variants,
         deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
-        tome_ratio=args.tome,
+        tome_ratio=args.tome, cfg_interval=_parse_interval(args.cfg_interval),
     )
     if finish_eval is not None:
         finish_eval()
@@ -737,6 +750,11 @@ def cmd_serve(argv):
              "shards over the mesh (more chips on one image)",
     )
     ap.add_argument("--parallel_tol", type=float, default=0.1)
+    ap.add_argument(
+        "--cfg_interval", default=None, metavar="I0:I1",
+        help="OPT-IN guidance interval (arXiv:2404.07724): apply CFG only "
+             "at step indices [I0, I1); cond-only half-batch UNet outside",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -762,6 +780,7 @@ def cmd_serve(argv):
         deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
         tome_ratio=args.tome,
         parallel_window=args.parallel_window, parallel_tolerance=args.parallel_tol,
+        cfg_interval=_parse_interval(args.cfg_interval),
     )
     for spec in args.lora:
         name, _, path = spec.partition("=")

@@ -52,7 +52,7 @@ class SamplerModels:
     static_argnames=(
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
         "decode_chunk", "unroll", "deepcache_interval", "deepcache_depth",
-        "tome_ratio", "tome_min_tokens", "tome_ops",
+        "tome_ratio", "tome_min_tokens", "tome_ops", "cfg_interval",
     ),
 )
 def sample(
@@ -78,6 +78,7 @@ def sample(
     tome_ratio: float = 0.0,
     tome_min_tokens: int = 4096,
     tome_ops: str = "attn",
+    cfg_interval: Optional[tuple] = None,
 ) -> jax.Array:
     """Generate images.
 
@@ -101,6 +102,15 @@ def sample(
     `tome_ratio > 0` (OPT-IN approximation, composable with DeepCache):
     ToMe token merging before every ≥4096-token UNet self-attention
     (`ops/tome.py`, arXiv:2303.17604); 0.0 = exact.
+
+    `cfg_interval=(i0, i1)` (OPT-IN approximation; default None = exact):
+    guidance interval (Kynkäänniemi et al., arXiv:2404.07724) — CFG is
+    applied only at step indices i0 <= i < i1 (index 0 = highest noise);
+    outside the interval the UNet runs COND-ONLY at half batch, saving
+    ~half the UNet cost on those steps. The step schedule is static, so
+    the interval maps to static loop segments (three fori_loops, no
+    lax.cond, no dynamic shapes). Not yet composable with
+    deepcache_interval or unroll.
     """
     B = input_ids.shape[0]
     h, w = height // 8, width // 8
@@ -112,6 +122,11 @@ def sample(
     # The CFG batch is [uncond; cond], so adapters (and a per-request (B,)
     # lora_scale) tile ×2 to line up slot b with rows b and B+b.
     lora_leaves = [] if lora is None else jax.tree.leaves(lora)
+    # pre-CFG-tiling adapter views for the cond-only (half-batch) guidance-
+    # interval path: its rows are just the cond prompts, so per-request
+    # adapters apply UNtiled
+    unet_lora_cond = None if lora is None else lora.get("unet")
+    lora_scale_cond = lora_scale
     if lora_leaves and lora_leaves[0].ndim == 3:
         lora = jax.tree.map(lambda l: jnp.concatenate([l, l], axis=0), lora)
         if isinstance(lora_scale, jax.Array) and lora_scale.ndim == 1:
@@ -146,6 +161,25 @@ def sample(
         )
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance_scale * (eps_c - eps_u)
+
+    def unet_eps_cond_only(x, t):
+        # guidance-interval out-of-interval step: cond prompts only, batch B
+        return unet2d.apply(
+            params["unet"], x, jnp.broadcast_to(t, (B,)), ctx[B:],
+            models.unet_cfg, policy=policy,
+            lora=unet_lora_cond, lora_scale=lora_scale_cond,
+            attn_impl=models.attn_impl, tome_ratio=tome_ratio,
+            tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
+        )
+
+    if cfg_interval is not None:
+        i0, i1 = int(cfg_interval[0]), int(cfg_interval[1])
+        if not (0 <= i0 <= i1 <= S):
+            raise ValueError(f"cfg_interval {cfg_interval} not within [0, {S}]")
+        if deepcache_interval > 1:
+            raise ValueError("cfg_interval is not composable with deepcache_interval yet")
+        if unroll > 1:
+            raise ValueError("cfg_interval is not composable with unroll yet")
 
     if deepcache_interval > 1:
 
@@ -198,19 +232,29 @@ def sample(
 
     elif scheduler == "ddpm":
 
-        def body(i, x):
-            t = schedule.timesteps[i]
-            eps = unet_eps(x, t)
-            if noise_override is not None:
-                noise = noise_override[i + 1]
-            else:
-                noise = jax.random.normal(
-                    jax.random.fold_in(key, i), x.shape, jnp.float32
-                )
-            x, _ = schedule.step(eps, i, x, noise)
-            return x
+        def _ddpm_body(eps_fn):
+            def body(i, x):
+                t = schedule.timesteps[i]
+                eps = eps_fn(x, t)
+                if noise_override is not None:
+                    noise = noise_override[i + 1]
+                else:
+                    noise = jax.random.normal(
+                        jax.random.fold_in(key, i), x.shape, jnp.float32
+                    )
+                x, _ = schedule.step(eps, i, x, noise)
+                return x
+            return body
 
-        if unroll > 1:
+        body = _ddpm_body(unet_eps)
+
+        if cfg_interval is not None:
+            # static segments: [0,i0) and [i1,S) run cond-only at half batch
+            body_c = _ddpm_body(unet_eps_cond_only)
+            x = jax.lax.fori_loop(0, i0, body_c, x)
+            x = jax.lax.fori_loop(i0, i1, body, x)
+            x = jax.lax.fori_loop(i1, S, body_c, x)
+        elif unroll > 1:
             # scan with unroll>1 exposes `unroll` consecutive denoise steps
             # to the scheduler at once (cross-step overlap of the step's
             # elementwise math with the next UNet's first DMAs) at the cost
@@ -250,13 +294,23 @@ def sample(
             x = state[0]
         else:
 
-            def body(i, state):
-                t = schedule.timesteps[i]
-                eps = unet_eps(state[0], t)
-                state, _ = schedule.step(eps, i, state)
-                return state
+            def _dpm_body(eps_fn):
+                def body(i, state):
+                    t = schedule.timesteps[i]
+                    eps = eps_fn(state[0], t)
+                    state, _ = schedule.step(eps, i, state)
+                    return state
+                return body
 
-            x = jax.lax.fori_loop(0, S, body, state)[0]
+            body = _dpm_body(unet_eps)
+            if cfg_interval is not None:
+                body_c = _dpm_body(unet_eps_cond_only)
+                state = jax.lax.fori_loop(0, i0, body_c, state)
+                state = jax.lax.fori_loop(i0, i1, body, state)
+                state = jax.lax.fori_loop(i1, S, body_c, state)
+                x = state[0]
+            else:
+                x = jax.lax.fori_loop(0, S, body, state)[0]
 
     else:
         raise ValueError(scheduler)

@@ -156,6 +156,7 @@ def run_sweep(
     deepcache_interval: int = 1,
     deepcache_depth: int = 1,
     tome_ratio: float = 0.0,
+    cfg_interval=None,
 ):
     """Full sweep. `pipe` is a `StableDiffusionPipeline`; LoRA checkpoints
     live at `<lora_root>/<model>/<identity>/<checkpoint>`.
@@ -354,6 +355,7 @@ def run_sweep(
                 deepcache_interval=deepcache_interval,
                 deepcache_depth=deepcache_depth,
                 tome_ratio=tome_ratio,
+                cfg_interval=cfg_interval,
             )
             # mark trailing pad slots (only the LAST batch can have them)
             first_pad = len(chunk) - (
@@ -392,6 +394,7 @@ def run_sweep(
                         deepcache_interval=deepcache_interval,
                         deepcache_depth=deepcache_depth,
                         tome_ratio=tome_ratio,
+                        cfg_interval=cfg_interval,
                     )
                     names = [
                         f"{identity}_{start + i:03d}.png" for i in range(len(chunk))

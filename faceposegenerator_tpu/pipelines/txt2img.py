@@ -165,6 +165,7 @@ class StableDiffusionPipeline:
         tome_ops: str = "attn",
         parallel_window: int = 0,
         parallel_tolerance: float = 0.1,
+        cfg_interval: Optional[tuple] = None,
     ):
         """Generate images. Returns (B, H, W, 3) in [0, 1] (np or jax).
 
@@ -201,6 +202,8 @@ class StableDiffusionPipeline:
         use_parallel = parallel_window > 0
         if use_parallel and self.scheduler_kind != "ddpm":
             raise ValueError("parallel_window requires the ddpm scheduler")
+        if use_parallel and cfg_interval is not None:
+            raise ValueError("cfg_interval is not composable with parallel_window yet")
 
         if self.mesh is not None and not use_parallel:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -277,6 +280,7 @@ class StableDiffusionPipeline:
                 deepcache_depth=deepcache_depth,
                 tome_ratio=tome_ratio, tome_min_tokens=tome_min_tokens,
                 tome_ops=tome_ops,
+                cfg_interval=None if cfg_interval is None else tuple(cfg_interval),
             )
         if output_type in ("u8", "jax_u8"):
             # device-side quantize: the sweep/serving consumers want uint8;

@@ -118,6 +118,7 @@ class SamplerServer:
         tome_ops: str = "attn",
         parallel_window: int = 0,
         parallel_tolerance: float = 0.1,
+        cfg_interval: Optional[tuple] = None,
     ):
         """`mesh`: optional `jax.sharding.Mesh` — serve DATA-PARALLEL: the
         request batch is sharded over the mesh "data" axis, params/LoRAs
@@ -156,6 +157,11 @@ class SamplerServer:
         self.parallel_tolerance = float(parallel_tolerance)
         if self.parallel_window > 0 and scheduler != "ddpm":
             raise ValueError("parallel_window requires the ddpm scheduler")
+        # opt-in guidance interval (arXiv:2404.07724): CFG only at step
+        # indices [i0, i1); cond-only half-batch UNet outside
+        self.cfg_interval = None if cfg_interval is None else tuple(cfg_interval)
+        if self.cfg_interval is not None and self.parallel_window > 0:
+            raise ValueError("cfg_interval is not composable with parallel_window yet")
         if mesh is not None:
             from ..core.mesh import DATA_AXIS
 
@@ -515,6 +521,7 @@ class SamplerServer:
                 deepcache_interval=self.deepcache_interval,
                 deepcache_depth=self.deepcache_depth,
                 tome_ratio=self.tome_ratio, tome_ops=self.tome_ops,
+                cfg_interval=self.cfg_interval,
             )
         images = np.asarray(_quantize_u8(images))
         t1 = time.perf_counter()
