@@ -109,8 +109,10 @@ def sample(
     outside the interval the UNet runs COND-ONLY at half batch, saving
     ~half the UNet cost on those steps. The step schedule is static, so
     the interval maps to static loop segments (three fori_loops, no
-    lax.cond, no dynamic shapes). Not yet composable with
-    deepcache_interval or unroll.
+    lax.cond, no dynamic shapes). Composable with deepcache_interval
+    (each segment carries its own cache — CFG and cond-only caches have
+    different batch sizes — and seeds it with a full pass at the segment's
+    first step); not composable with unroll.
     """
     B = input_ids.shape[0]
     h, w = height // 8, width // 8
@@ -176,8 +178,6 @@ def sample(
         i0, i1 = int(cfg_interval[0]), int(cfg_interval[1])
         if not (0 <= i0 <= i1 <= S):
             raise ValueError(f"cfg_interval {cfg_interval} not within [0, {S}]")
-        if deepcache_interval > 1:
-            raise ValueError("cfg_interval is not composable with deepcache_interval yet")
         if unroll > 1:
             raise ValueError("cfg_interval is not composable with unroll yet")
 
@@ -196,6 +196,19 @@ def sample(
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             return eps_u + guidance_scale * (eps_c - eps_u), cache
 
+        def unet_eps_dc_cond(x, t, cache):
+            # guidance-interval out-of-interval step: cond-only half batch;
+            # its cache pytree is B-sized, so each loop segment carries its
+            # own cache (segments are static — see run_seg_*)
+            return unet2d.apply_cached(
+                params["unet"], x, jnp.broadcast_to(t, (B,)), ctx[B:],
+                models.unet_cfg, policy=policy,
+                lora=unet_lora_cond, lora_scale=lora_scale_cond,
+                attn_impl=models.attn_impl, tome_ratio=tome_ratio,
+                tome_min_tokens=tome_min_tokens, tome_ops=tome_ops,
+                depth=deepcache_depth, cached=cache,
+            )
+
     if scheduler == "ddpm" and deepcache_interval > 1:
 
         def step_noise(i):
@@ -205,30 +218,42 @@ def sample(
                 jax.random.fold_in(key, i), x.shape, jnp.float32
             )
 
-        # step 0 outside the loop: it must run FULL and its cache fixes the
-        # carry structure for the cond inside the loop
-        eps0, cache = unet_eps_dc(x, schedule.timesteps[0], None)
-        x, _ = schedule.step(eps0, 0, x, step_noise(0))
+        def run_seg_ddpm(x, lo, hi, eps_dc, unroll=1):
+            """One static [lo, hi) segment. The first step runs FULL (its
+            cache fixes the fori carry structure — and CFG/cond-only caches
+            have different batch sizes, so a cache never crosses segments)."""
+            if lo >= hi:
+                return x
+            eps0, cache = eps_dc(x, schedule.timesteps[lo], None)
+            x, _ = schedule.step(eps0, lo, x, step_noise(lo))
 
-        def body_dc(i, carry):
-            x, cache = carry
-            t = schedule.timesteps[i]
-            eps, cache = jax.lax.cond(
-                i % deepcache_interval == 0,
-                lambda x_, c_: unet_eps_dc(x_, t, None),
-                lambda x_, c_: unet_eps_dc(x_, t, c_),
-                x, cache,
-            )
-            x2, _ = schedule.step(eps, i, x, step_noise(i))
-            return (x2, cache)
+            def body_dc(i, carry):
+                x, cache = carry
+                t = schedule.timesteps[i]
+                eps, cache = jax.lax.cond(
+                    i % deepcache_interval == 0,
+                    lambda x_, c_: eps_dc(x_, t, None),
+                    lambda x_, c_: eps_dc(x_, t, c_),
+                    x, cache,
+                )
+                x2, _ = schedule.step(eps, i, x, step_noise(i))
+                return (x2, cache)
 
-        if unroll > 1:
-            (x, _), _ = jax.lax.scan(
-                lambda c, i: (body_dc(i, c), None), (x, cache),
-                jnp.arange(1, S), unroll=unroll,
-            )
+            if unroll > 1:
+                (x, _), _ = jax.lax.scan(
+                    lambda c, i: (body_dc(i, c), None), (x, cache),
+                    jnp.arange(lo + 1, hi), unroll=unroll,
+                )
+            else:
+                x, _ = jax.lax.fori_loop(lo + 1, hi, body_dc, (x, cache))
+            return x
+
+        if cfg_interval is None:
+            x = run_seg_ddpm(x, 0, S, unet_eps_dc, unroll=unroll)
         else:
-            x, _ = jax.lax.fori_loop(1, S, body_dc, (x, cache))
+            x = run_seg_ddpm(x, 0, i0, unet_eps_dc_cond)
+            x = run_seg_ddpm(x, i0, i1, unet_eps_dc)
+            x = run_seg_ddpm(x, i1, S, unet_eps_dc_cond)
 
     elif scheduler == "ddpm":
 
@@ -270,27 +295,38 @@ def sample(
         state = (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.int32(0))
 
         if deepcache_interval > 1:
-            # step 0 outside the loop: full pass fixes the cache pytree
-            # structure for the loop carry (same pattern as the ddpm branch).
+            # segment runner (same pattern as the ddpm branch): the first
+            # step of each static segment runs FULL to fix the cache carry.
             # DPM-Solver++ is deterministic (no per-step noise), so the
             # cached-eps approximation composes with the multistep history
             # (m1/m2) exactly as with diffusers' DeepCache on DPM schedulers.
-            eps0, cache = unet_eps_dc(x, schedule.timesteps[0], None)
-            state, _ = schedule.step(eps0, 0, state)
+            def run_seg_dpm(state, lo, hi, eps_dc):
+                if lo >= hi:
+                    return state
+                eps0, cache = eps_dc(state[0], schedule.timesteps[lo], None)
+                state, _ = schedule.step(eps0, lo, state)
 
-            def body_dc(i, carry):
-                state, cache = carry
-                t = schedule.timesteps[i]
-                eps, cache = jax.lax.cond(
-                    i % deepcache_interval == 0,
-                    lambda x_, c_: unet_eps_dc(x_, t, None),
-                    lambda x_, c_: unet_eps_dc(x_, t, c_),
-                    state[0], cache,
-                )
-                state2, _ = schedule.step(eps, i, state)
-                return (state2, cache)
+                def body_dc(i, carry):
+                    state, cache = carry
+                    t = schedule.timesteps[i]
+                    eps, cache = jax.lax.cond(
+                        i % deepcache_interval == 0,
+                        lambda x_, c_: eps_dc(x_, t, None),
+                        lambda x_, c_: eps_dc(x_, t, c_),
+                        state[0], cache,
+                    )
+                    state2, _ = schedule.step(eps, i, state)
+                    return (state2, cache)
 
-            state, _ = jax.lax.fori_loop(1, S, body_dc, (state, cache))
+                state, _ = jax.lax.fori_loop(lo + 1, hi, body_dc, (state, cache))
+                return state
+
+            if cfg_interval is None:
+                state = run_seg_dpm(state, 0, S, unet_eps_dc)
+            else:
+                state = run_seg_dpm(state, 0, i0, unet_eps_dc_cond)
+                state = run_seg_dpm(state, i0, i1, unet_eps_dc)
+                state = run_seg_dpm(state, i1, S, unet_eps_dc_cond)
             x = state[0]
         else:
 

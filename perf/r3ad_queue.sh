@@ -27,4 +27,9 @@ run() {
 run civ_3_24 3600 BENCH_CFG_INTERVAL=3:24
 run civ_5_20 3600 BENCH_CFG_INTERVAL=5:20
 run civ_0_15 3600 BENCH_CFG_INTERVAL=0:15
+# turbo combo: DeepCache-3 x guidance interval (segments carry their own
+# caches; each segment seeds with a full pass) — multiplicative expectation
+# dc3 (+42%) x civ_5_20 (~+29% bound) ≈ 3.7-3.8 img/s
+run civ_5_20_dc3 3600 BENCH_CFG_INTERVAL=5:20 BENCH_DEEPCACHE=3
+run civ_3_24_dc5 3600 BENCH_CFG_INTERVAL=3:24 BENCH_DEEPCACHE=5
 echo DONE_R3AD >> /tmp/r3ad_err.log

@@ -125,7 +125,33 @@ def test_invalid_compositions_raise(setup):
                cfg_interval=(0, 9), **KW)  # out of range
     with pytest.raises(ValueError):
         sample(params, sched, ids, neg, jax.random.key(0),
-               cfg_interval=(1, 3), deepcache_interval=2, **KW)
-    with pytest.raises(ValueError):
-        sample(params, sched, ids, neg, jax.random.key(0),
                cfg_interval=(1, 3), unroll=2, **KW)
+
+
+@pytest.mark.parametrize("scheduler", ["ddpm", "dpm"])
+def test_deepcache_composition(setup, scheduler):
+    """cfg_interval composes with DeepCache: each static segment carries its
+    own cache (CFG vs cond-only caches differ in batch size) seeded by a
+    full pass at the segment's first step. (0,S) with DeepCache is the SAME
+    program as DeepCache alone; a mid interval is deterministic, finite,
+    and in the exact image's ballpark."""
+    params, ids, neg = setup
+    S = 6
+    sched = (make_ddpm(num_inference_steps=S) if scheduler == "ddpm"
+             else make_dpm_solver(num_inference_steps=S))
+    kw = dict(scheduler=scheduler, deepcache_interval=3, **KW)
+    dc = sample(params, sched, ids, neg, jax.random.key(0), **kw)
+    dc_full_iv = sample(params, sched, ids, neg, jax.random.key(0),
+                        cfg_interval=(0, S), **kw)
+    np.testing.assert_allclose(np.asarray(dc_full_iv), np.asarray(dc),
+                               rtol=2e-4, atol=2e-4)
+    exact = sample(params, sched, ids, neg, jax.random.key(0),
+                   scheduler=scheduler, **KW)
+    mid = sample(params, sched, ids, neg, jax.random.key(0),
+                 cfg_interval=(1, 4), **kw)
+    mid2 = sample(params, sched, ids, neg, jax.random.key(0),
+                  cfg_interval=(1, 4), **kw)
+    np.testing.assert_array_equal(np.asarray(mid), np.asarray(mid2))
+    assert np.isfinite(np.asarray(mid)).all()
+    assert np.abs(np.asarray(mid) - np.asarray(exact)).max() > 1e-6
+    assert np.abs(np.asarray(mid) - np.asarray(exact)).mean() < 0.2
