@@ -269,6 +269,14 @@ def bench_embed(batch: int, repeats: int):
     cfg = iresnet.config_for("r100")
     params, state = iresnet.init(jax.random.key(0), cfg)
 
+    # BENCH_QUANT=w8a8: OPT-IN int8 body (ops/quant.py) — v5e MXU int8 runs
+    # at 2x the bf16 rate; reported with a QUANT tag, never as the default.
+    qmode = os.environ.get("BENCH_QUANT", "")
+    if qmode:
+        from faceposegenerator_tpu.ops.quant import quantize_iresnet
+
+        params = quantize_iresnet(params)
+
     from faceposegenerator_tpu.core.compile import jit as _options_jit
 
     @_options_jit
@@ -285,7 +293,8 @@ def bench_embed(batch: int, repeats: int):
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {
-        "metric": f"ArcFace r100 embeds/sec/chip 112x112 bs{batch}",
+        "metric": f"ArcFace r100 embeds/sec/chip 112x112 bs{batch}"
+        + (f" QUANT={qmode}" if qmode else ""),
         "value": round(batch / best, 1),
         "unit": "img/s",
         "vs_baseline": round(batch / best / 1000.0, 3),
@@ -695,6 +704,14 @@ def main():
     # — CFG only at step indices [i0, i1); cond-only half-batch UNet outside.
     cfg_iv = os.environ.get("BENCH_CFG_INTERVAL", "")
     cfg_interval = tuple(int(v) for v in cfg_iv.split(":")) if cfg_iv else None
+    # BENCH_QUANT=w8a8: OPT-IN int8 UNet (ops/quant.py) — matmuls/convs run
+    # int8x int8->int32 on the MXU (2x bf16 rate on v5e); CLIP/VAE and the
+    # exact default program untouched. Reported with a QUANT tag.
+    qmode = os.environ.get("BENCH_QUANT", "")
+    if qmode:
+        from faceposegenerator_tpu.ops.quant import quantize_unet
+
+        params = dict(params, unet=quantize_unet(params["unet"]))
 
     def run(key):
         return sample(
@@ -725,6 +742,8 @@ def main():
         tag += f" TOME={tome}/{tome_ops}"
     if cfg_interval is not None:
         tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
+    if qmode:
+        tag += f" QUANT={qmode}"
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),

@@ -158,6 +158,12 @@ def cmd_generate(argv):
         help="OPT-IN guidance interval (arXiv:2404.07724): apply CFG only "
              "at step indices [I0, I1); cond-only half-batch UNet outside",
     )
+    ap.add_argument(
+        "--quantize", default=None, choices=["w8a8"],
+        help="OPT-IN int8 UNet weights+activations (ops/quant.py): "
+             "matmuls/convs run int8 on the MXU (2x bf16 rate on v5e); "
+             "LoRA adapters still apply in bf16",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -165,6 +171,8 @@ def cmd_generate(argv):
 
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
     pipe.set_scheduler("ddpm")
+    if args.quantize:
+        pipe.quantize(args.quantize)
     if args.data_parallel:
         import jax
 
@@ -755,6 +763,11 @@ def cmd_serve(argv):
         help="OPT-IN guidance interval (arXiv:2404.07724): apply CFG only "
              "at step indices [I0, I1); cond-only half-batch UNet outside",
     )
+    ap.add_argument(
+        "--quantize", default=None, choices=["w8a8"],
+        help="OPT-IN int8 UNet weights+activations (ops/quant.py); "
+             "registered LoRA adapters still apply in bf16",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -771,6 +784,8 @@ def cmd_serve(argv):
 
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
     pipe.set_scheduler(args.scheduler)
+    if args.quantize:
+        pipe.quantize(args.quantize)
     server = SamplerServer(
         pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
         num_inference_steps=args.steps, guidance_scale=args.guidance,

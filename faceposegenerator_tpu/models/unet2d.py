@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.precision import Policy, DEFAULT_POLICY
+from ..ops import quant
 from ..ops.attention import dot_product_attention
 from ..ops.norms import group_norm, layer_norm
 from ..ops.lora import broadcast_scale, lora_delta, lora_dense
@@ -63,7 +64,12 @@ SD21_UNET_CONFIG = UNetConfig()
 
 
 def conv2d(x, p, stride=1, padding=1):
-    """NHWC conv with HWIO weights + bias."""
+    """NHWC conv with HWIO weights + bias. Quantized trees (`ops/quant.py`,
+    opt-in w8a8) carry `{"q": int8, "s": scale}` in place of the `"w"`
+    array; the dispatch is on pytree structure, so the exact path's
+    compiled program is untouched."""
+    if quant.is_quantized(p["w"]):
+        return quant.qconv2d(x, p, stride=stride, padding=padding)
     dn = jax.lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     # NOTE: no preferred_element_type here — bf16 TPU convs accumulate in
@@ -245,9 +251,9 @@ def init_lora(key: jax.Array, params, rank: int = 4, dtype=jnp.float32, targets=
     def attn_lora(attn):
         out = {}
         for name in targets:
-            w = attn[name]["w"]
-            a = jax.random.normal(next(keys), (rank, w.shape[1]), dtype) / rank
-            b = jnp.zeros((w.shape[0], rank), dtype)
+            wshape = quant.weight_shape(attn[name]["w"])
+            a = jax.random.normal(next(keys), (rank, wshape[1]), dtype) / rank
+            b = jnp.zeros((wshape[0], rank), dtype)
             out[name] = {"a": a, "b": b}
         return out
 
@@ -277,7 +283,11 @@ def _gn_silu_conv(x, norm_p, conv_p, num_groups):
     XLA formulation otherwise."""
     from ..ops.fused_gn_conv import gn_conv_impl, gn_silu_conv3x3, supported
 
-    if gn_conv_impl() == "pallas" and jax.default_backend() == "tpu":
+    if (
+        gn_conv_impl() == "pallas"
+        and jax.default_backend() == "tpu"
+        and not quant.is_quantized(conv_p["w"])
+    ):
         n, h, w, cin = x.shape
         cout = conv_p["w"].shape[-1]
         if conv_p["w"].shape[:2] == (3, 3) and supported(n, h, w, cin, cout, num_groups):
@@ -319,11 +329,16 @@ def _attention_apply(p, x, ctx, head_dim, lora=None, lora_scale=1.0, attn_impl="
         )
 
     if ctx is x:
-        wqkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=0)
-        qkv = jnp.einsum(
-            "...i,oi->...o", x, wqkv.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        if quant.is_quantized(p["q"]["w"]):
+            # w8a8: one int8 GEMM over the concatenated q/k/v weights —
+            # the same fusion as the bf16 path, with x quantized once
+            qkv = quant.qdense_fused(x, [p["q"]["w"], p["k"]["w"], p["v"]["w"]]).astype(x.dtype)
+        else:
+            wqkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=0)
+            qkv = jnp.einsum(
+                "...i,oi->...o", x, wqkv.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if lora is not None:
 

@@ -57,8 +57,18 @@ def lora_dense(
     w: (out, in) — torch Linear orientation, kept so diffusers/peft
     checkpoints map 1:1. lora_a: (r, in), lora_b: (out, r) — or per-sample
     (B, r, in)/(B, out, r) with a (B,) scale (see `lora_delta`).
+
+    `w` may also be a quantized-weight dict (`ops/quant.py`, opt-in w8a8):
+    the base matmul then runs int8 on the MXU while the LoRA delta stays
+    factored bf16 on the unquantized activations — adapters compose with
+    quantized bases unchanged.
     """
-    y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    from . import quant
+
+    if quant.is_quantized(w):
+        y = quant.qdense(x, w)
+    else:
+        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if lora_a is not None and lora_b is not None:
         d = lora_delta(x, lora_a, lora_b)
         y = y + broadcast_scale(scale, d.ndim) * d

@@ -1,0 +1,250 @@
+"""Opt-in w8a8 int8 quantization (`ops/quant.py`).
+
+The quantized path is an approximation by design; what must be EXACT is the
+quantization arithmetic itself (int8 quantize → int32 accumulate → fp32
+rescale, verified against a numpy oracle), the tree transform (skip lists
+respected, biases/norms untouched), and the composition rules (LoRA deltas
+ride bf16 on the int8 base; the fused-qkv path equals per-projection;
+init_lora/lora_io still read shapes off a quantized tree). Accuracy is
+bounded, not exact: random-weight relative-error / cosine thresholds.
+
+The reference stack has no quantized path (fp16 autocast only,
+`train_ID-Booth.py:60`); this is a TPU-native serving lever.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faceposegenerator_tpu.core.precision import PARITY_POLICY
+from faceposegenerator_tpu.diffusion import make_ddpm
+from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
+from faceposegenerator_tpu.models import clip_text, unet2d, vae
+from faceposegenerator_tpu.ops import quant
+from faceposegenerator_tpu.ops.lora import lora_dense
+
+CFG = unet2d.UNetConfig(
+    block_out_channels=(32, 64, 64, 64), cross_attention_dim=48, head_dim=8
+)
+TINY = SamplerModels(
+    text_cfg=clip_text.CLIPTextConfig(
+        vocab_size=512, hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96
+    ),
+    unet_cfg=CFG,
+    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32, 32, 32)),
+)
+KW = dict(models=TINY, height=64, width=64, policy=PARITY_POLICY)
+
+
+def _np_qdense(x, w):
+    """Numpy oracle for qdense: per-token dynamic int8 × per-channel int8."""
+    xf = np.asarray(x, np.float64)
+    sx = np.maximum(np.abs(xf).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = np.clip(np.rint(xf / sx), -127, 127).astype(np.int32)
+    wf = np.asarray(w, np.float64)
+    sw = np.maximum(np.abs(wf).max(axis=1), 1e-8) / 127.0
+    wq = np.clip(np.rint(wf / sw[:, None]), -127, 127).astype(np.int32)
+    return (xq @ wq.T) * sx * sw
+
+
+def test_qdense_matches_numpy_oracle():
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(k1, (16, 24), jnp.float32)
+    w = jax.random.normal(k2, (12, 24), jnp.float32)
+    got = quant.qdense(x, quant.quantize_weight(w, channel_axis=0))
+    want = _np_qdense(np.asarray(x), np.asarray(w))
+    # identical integers; rescale is the only float math (fp32 vs fp64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_qdense_accuracy():
+    k1, k2 = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(k1, (64, 128), jnp.float32)
+    w = jax.random.normal(k2, (96, 128), jnp.float32) / 128**0.5
+    exact = x @ w.T
+    q = quant.qdense(x, quant.quantize_weight(w, channel_axis=0))
+    rel = jnp.linalg.norm(q - exact) / jnp.linalg.norm(exact)
+    assert rel < 0.02, rel
+
+
+def test_qconv_accuracy_and_dtype():
+    k1, k2 = jax.random.split(jax.random.key(2))
+    x = jax.random.normal(k1, (2, 16, 16, 8), jnp.bfloat16)
+    p = {
+        "w": jax.random.normal(k2, (3, 3, 8, 12), jnp.float32) / 72**0.5,
+        "b": jnp.zeros((12,), jnp.float32),
+    }
+    exact = unet2d.conv2d(x.astype(jnp.float32), {"w": p["w"], "b": p["b"]})
+    qp = {"w": quant.quantize_weight(p["w"], channel_axis=-1), "b": p["b"]}
+    got = unet2d.conv2d(x, qp)
+    assert got.dtype == jnp.bfloat16
+    rel = np.linalg.norm(np.asarray(got, np.float32) - np.asarray(exact)) / np.linalg.norm(np.asarray(exact))
+    assert rel < 0.03, rel
+
+
+def test_quantize_tree_skips_and_structure():
+    params = unet2d.init(jax.random.key(0), CFG)
+    q = quant.quantize_unet(params)
+    # skip list: first/last conv and the time path stay plain arrays
+    assert not quant.is_quantized(q["conv_in"]["w"])
+    assert not quant.is_quantized(q["conv_out"]["w"])
+    assert not quant.is_quantized(q["time_embedding"]["linear_1"]["w"])
+    assert not quant.is_quantized(q["down_blocks"][0]["resnets"][0]["time_emb_proj"]["w"])
+    # body weights quantized, int8, same shape; biases/norms untouched
+    rb = q["down_blocks"][0]["resnets"][0]
+    assert quant.is_quantized(rb["conv1"]["w"])
+    assert rb["conv1"]["w"]["q"].dtype == jnp.int8
+    assert rb["conv1"]["w"]["q"].shape == params["down_blocks"][0]["resnets"][0]["conv1"]["w"].shape
+    assert rb["norm1"]["g"].dtype == params["down_blocks"][0]["resnets"][0]["norm1"]["g"].dtype
+    at = q["down_blocks"][0]["attentions"][0]["blocks"][0]
+    assert quant.is_quantized(at["attn1"]["q"]["w"])
+    assert quant.is_quantized(at["ff_in"]["w"])
+
+
+def test_fused_qkv_matches_per_projection():
+    k = jax.random.key(3)
+    ks = jax.random.split(k, 4)
+    x = jax.random.normal(ks[0], (2, 32, 24), jnp.float32)
+    ws = [
+        quant.quantize_weight(jax.random.normal(ks[i + 1], (24, 24), jnp.float32), 0)
+        for i in range(3)
+    ]
+    fused = quant.qdense_fused(x, ws)
+    per = jnp.concatenate([quant.qdense(x, w) for w in ws], axis=-1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(per), rtol=1e-6, atol=1e-6)
+
+
+def test_lora_delta_rides_quantized_base():
+    """lora_dense(quantized w, A, B) == lora_dense(quantized w) + bf16 delta:
+    the adapter contribution is bit-identical with and without quantization
+    of the base (the delta never touches the int8 path)."""
+    ks = jax.random.split(jax.random.key(4), 4)
+    x = jax.random.normal(ks[0], (8, 32), jnp.float32)
+    w = jax.random.normal(ks[1], (16, 32), jnp.float32)
+    a = jax.random.normal(ks[2], (4, 32), jnp.float32)
+    b = jax.random.normal(ks[3], (16, 4), jnp.float32)
+    qw = quant.quantize_weight(w, 0)
+    with_lora = lora_dense(x, qw, lora_a=a, lora_b=b, scale=0.7)
+    base = lora_dense(x, qw)
+    delta_q = with_lora - base
+    delta_exact = lora_dense(x, w, lora_a=a, lora_b=b, scale=0.7) - lora_dense(x, w)
+    np.testing.assert_allclose(np.asarray(delta_q), np.asarray(delta_exact), rtol=1e-5, atol=1e-5)
+
+
+def test_init_lora_on_quantized_tree():
+    params = unet2d.init(jax.random.key(0), CFG)
+    q = quant.quantize_unet(params)
+    l_plain = unet2d.init_lora(jax.random.key(1), params, rank=4)
+    l_quant = unet2d.init_lora(jax.random.key(1), q, rank=4)
+    assert jax.tree.structure(l_plain) == jax.tree.structure(l_quant)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(l_plain)[0]), np.asarray(jax.tree.leaves(l_quant)[0])
+    )
+
+
+def test_unet_apply_quantized_close_to_exact():
+    params = unet2d.init(jax.random.key(0), CFG)
+    q = quant.quantize_unet(params)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 4), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (2, 77, 48), jnp.float32)
+    exact = unet2d.apply(params, x, t, ctx, CFG, policy=PARITY_POLICY)
+    got = unet2d.apply(q, x, t, ctx, CFG, policy=PARITY_POLICY)
+    assert np.isfinite(np.asarray(got)).all()
+    rel = np.linalg.norm(np.asarray(got - exact)) / np.linalg.norm(np.asarray(exact))
+    assert rel < 0.15, rel  # random weights are the worst case for int8
+
+
+def test_sampler_end_to_end_quantized():
+    params = {
+        "text_encoder": clip_text.init(jax.random.key(4), TINY.text_cfg),
+        "unet": unet2d.init(jax.random.key(0), CFG),
+        "vae": vae.init(jax.random.key(5), TINY.vae_cfg),
+    }
+    qparams = dict(params, unet=quant.quantize_unet(params["unet"]))
+    ids = jax.random.randint(jax.random.key(6), (2, 77), 0, 512)
+    neg = jnp.zeros_like(ids)
+    sched = make_ddpm(num_inference_steps=4)
+    img_q = sample(qparams, sched, ids, neg, jax.random.key(0), **KW)
+    img_q2 = sample(qparams, sched, ids, neg, jax.random.key(0), **KW)
+    np.testing.assert_array_equal(np.asarray(img_q), np.asarray(img_q2))
+    assert np.isfinite(np.asarray(img_q)).all()
+    exact = sample(params, sched, ids, neg, jax.random.key(0), **KW)
+    # same ballpark as the exact image (uint8-scale [0,1] outputs)
+    assert np.abs(np.asarray(img_q) - np.asarray(exact)).mean() < 0.25
+
+
+def test_iresnet_quantized_embedding_cosine():
+    from faceposegenerator_tpu.models import iresnet
+
+    cfg = iresnet.IResNetConfig(depths=(2, 2, 2, 2))
+    params, state = iresnet.init(jax.random.key(0), cfg)
+    qparams = quant.quantize_iresnet(params)
+    assert not quant.is_quantized(qparams["conv1"]["w"])
+    assert not quant.is_quantized(qparams["fc"]["w"])
+    assert quant.is_quantized(qparams["layer1"][0]["conv1"]["w"])
+    x = jax.random.normal(jax.random.key(1), (4, 112, 112, 3), jnp.float32)
+    e_exact, _ = iresnet.apply(params, state, x, cfg)
+    e_q, _ = iresnet.apply(qparams, state, x, cfg)
+    cos = np.sum(
+        np.asarray(e_exact) * np.asarray(e_q), axis=-1
+    ) / (
+        np.linalg.norm(np.asarray(e_exact), axis=-1)
+        * np.linalg.norm(np.asarray(e_q), axis=-1)
+    )
+    assert (cos > 0.98).all(), cos
+
+
+def test_pipeline_quantize_method():
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    exact = pipe(input_ids=jnp.zeros((1, 77), jnp.int32), num_inference_steps=2,
+                 height=64, width=64, seed=0)
+    pipe.quantize("w8a8")
+    assert quant.is_quantized(pipe.params["unet"]["down_blocks"][0]["resnets"][0]["conv1"]["w"])
+    out = pipe(input_ids=jnp.zeros((1, 77), jnp.int32), num_inference_steps=2,
+               height=64, width=64, seed=0)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert np.asarray(out).shape == np.asarray(exact).shape
+    with pytest.raises(ValueError):
+        pipe.quantize("w4a4")
+
+
+def test_serving_on_quantized_pipeline():
+    """The claimed use case: a quantized pipe behind SamplerServer — one
+    compiled program, per-request determinism, LoRA hot-swap biting (deltas
+    in bf16 over the int8 base)."""
+    from faceposegenerator_tpu.data.tokenizer import CLIPTokenizer, bytes_to_unicode
+    from faceposegenerator_tpu.serving import GenerationRequest, SamplerServer
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    tok = CLIPTokenizer(vocab, [], model_max_length=77)
+    pipe = StableDiffusionPipeline.from_random(jax.random.key(0), models=TINY,
+                                               tokenizer=tok)
+    pipe.quantize("w8a8")
+    srv = SamplerServer(pipe, batch_size=2, max_wait_s=0.0,
+                        num_inference_steps=2, height=64, width=64)
+    try:
+        zero = srv._loras[None][0]
+        leaves, treedef = jax.tree_util.tree_flatten(zero)
+        keys = jax.random.split(jax.random.key(10), len(leaves))
+        srv.register_lora("idA", jax.tree_util.tree_unflatten(
+            treedef,
+            [0.3 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)],
+        ))
+        a = srv.generate([GenerationRequest(prompt="a face", seed=1)])[0]
+        a2 = srv.generate([GenerationRequest(prompt="a face", seed=1)])[0]
+        c = srv.generate([GenerationRequest(prompt="a face", seed=1, lora_id="idA")])[0]
+        np.testing.assert_array_equal(a.image, a2.image)
+        assert np.abs(a.image.astype(int) - c.image.astype(int)).max() >= 1
+    finally:
+        srv.shutdown()
