@@ -155,6 +155,9 @@ def bench_sweep(repeats: int):
     pipe = StableDiffusionPipeline.from_random(
         models=models, dtype=jnp.bfloat16, tokenizer=tok, policy=policy
     )
+    qmode = os.environ.get("BENCH_QUANT", "")
+    if qmode:
+        pipe.quantize(qmode)  # OPT-IN int8 UNet (ops/quant.py); QUANT tag below
 
     # eval harness models (random weights; throughput is weight-agnostic)
     fr_cfg = iresnet.config_for("r100")
@@ -250,8 +253,9 @@ def bench_sweep(repeats: int):
     ids_tag = f" x {n_ids} identities" if n_ids != 1 else ""
     models_tag = f" x {n_models} variants" if n_models != 1 else ""
     pack_tag = ", packed" if pack else ""
+    quant_tag = f", QUANT={qmode}" if qmode else ""
     return {
-        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}{models_tag}{pack_tag}, 30-step CFG + FIQA + pose)",
+        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}{models_tag}{pack_tag}{quant_tag}, 30-step CFG + FIQA + pose)",
         "value": round(n_images / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n_images / best / 30.0, 3),
@@ -501,6 +505,9 @@ def bench_serve(batch: int, steps: int, repeats: int):
         models=SamplerModels(attn_impl=os.environ.get("BENCH_ATTN", "auto")),
         dtype=jnp.bfloat16, tokenizer=tok, policy=policy,
     )
+    qmode = os.environ.get("BENCH_QUANT", "")
+    if qmode:
+        pipe.quantize(qmode)  # OPT-IN int8 UNet; LoRA hot-swap rides bf16 on top
     # BENCH_SERVE_LORAS=K: round-robin K distinct adapters through the burst
     # (default 2 = the classic metric's None/id0 alternation). With K >
     # batch-window diversity the classic server fragments into padded
@@ -545,7 +552,8 @@ def bench_serve(batch: int, steps: int, repeats: int):
     return {
         "metric": f"serving imgs/sec/chip 512x512 {steps}-step CFG (batch {batch}, "
         + (f"{n_loras}-LoRA bursts" if n_loras != 2 else "mixed-LoRA bursts")
-        + (", multi_lora" if multi else "") + ")",
+        + (", multi_lora" if multi else "")
+        + (f", QUANT={qmode}" if qmode else "") + ")",
         "value": round(n / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n / best / 30.0, 3),
@@ -582,6 +590,11 @@ def bench_latency(steps: int, repeats: int):
         "unet": unet2d.init(jax.random.key(1), models.unet_cfg, dtype=jnp.bfloat16),
         "vae": vae.init(jax.random.key(2), models.vae_cfg, dtype=jnp.bfloat16),
     }
+    qmode = os.environ.get("BENCH_QUANT", "")
+    if qmode:
+        from faceposegenerator_tpu.ops.quant import quantize_unet
+
+        params = dict(params, unet=quantize_unet(params["unet"]))
     lora = {
         "unet": unet2d.init_lora(jax.random.key(3), params["unet"], rank=4, dtype=jnp.bfloat16),
         "text_encoder": None,
