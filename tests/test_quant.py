@@ -248,3 +248,61 @@ def test_serving_on_quantized_pipeline():
         assert np.abs(a.image.astype(int) - c.image.astype(int)).max() >= 1
     finally:
         srv.shutdown()
+
+
+def test_quantized_pipeline_to_mesh_matches_single_device():
+    """Composition with data-parallel generation (`cli generate
+    --data_parallel` on a quantized pipe): quantize-then-to_mesh AND
+    to_mesh-then-quantize both reproduce the single-device quantized
+    pipeline — per-token/per-sample activation scales are row-local, so
+    sharding the batch over "data" does not change the math."""
+    from faceposegenerator_tpu.core.mesh import make_mesh
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    params = {
+        "text_encoder": clip_text.init(jax.random.key(0), TINY.text_cfg),
+        "unet": unet2d.init(jax.random.key(1), TINY.unet_cfg),
+        "vae": vae.init(jax.random.key(2), TINY.vae_cfg),
+    }
+    ids = jax.random.randint(jax.random.key(3), (8, 77), 0, 512)
+    run = dict(input_ids=ids, num_inference_steps=2, height=64, width=64,
+               seed=7, output_type="np")
+
+    single = StableDiffusionPipeline(dict(params), models=TINY, policy=PARITY_POLICY)
+    single.quantize("w8a8")
+    ref = single(**run)
+
+    qm = StableDiffusionPipeline(dict(params), models=TINY, policy=PARITY_POLICY)
+    qm.quantize("w8a8")
+    qm.to_mesh(make_mesh())
+    np.testing.assert_allclose(qm(**run), ref, atol=5e-4)
+
+    mq = StableDiffusionPipeline(dict(params), models=TINY, policy=PARITY_POLICY)
+    mq.to_mesh(make_mesh())
+    mq.quantize("w8a8")  # must re-replicate the quantized tree onto the mesh
+    np.testing.assert_allclose(mq(**run), ref, atol=5e-4)
+
+
+def test_quant_composes_with_cfg_interval():
+    """cfg_interval over a quantized tree: the (0, S) anchor is the same
+    program as the quantized default (allclose at fp32), and a mid interval
+    is finite and genuinely different — the cond-only half-batch rows hit
+    the same int8 kernels."""
+    params = {
+        "text_encoder": clip_text.init(jax.random.key(4), TINY.text_cfg),
+        "unet": quant.quantize_unet(unet2d.init(jax.random.key(0), CFG)),
+        "vae": vae.init(jax.random.key(5), TINY.vae_cfg),
+    }
+    ids = jax.random.randint(jax.random.key(6), (2, 77), 0, 512)
+    neg = jnp.zeros_like(ids)
+    sched = make_ddpm(num_inference_steps=5)
+    ref = sample(params, sched, ids, neg, jax.random.key(0), **KW)
+    full = sample(params, sched, ids, neg, jax.random.key(0),
+                  cfg_interval=(0, 5), **KW)
+    np.testing.assert_allclose(np.asarray(full, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-5)
+    mid = sample(params, sched, ids, neg, jax.random.key(0),
+                 cfg_interval=(2, 4), **KW)
+    m = np.asarray(mid, np.float32)
+    assert np.isfinite(m).all()
+    assert np.abs(m - np.asarray(ref, np.float32)).max() > 1e-4
