@@ -27,10 +27,25 @@ bench metric like DeepCache/ToMe.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+
+# QUANT_DENSE_IMPL=int8|dequant — how qdense runs the base matmul.
+#   int8:    quantize activations per-token, int8×int8→int32 on the MXU.
+#   dequant: weight-only int8 (w8): dequantize q·s to the activation dtype
+#            inside the dot — weight HBM still halved, activations exact
+#            (no per-token quantize pass), matmul on the bf16 MXU path.
+# Motivation: the v5e probe (perf/r3af_queue.jsonl) measured XLA's int8
+# dot at 0.68× the bf16 dot at transformer shapes (no int8 fast path for
+# dots; convs DO win at 1.13×, probe v1). Whether dequant pays end-to-end
+# depends on XLA fusing the convert×scale into the GEMM operand read
+# rather than materializing a bf16 weight buffer — measured on-chip before
+# changing the default (perf/r3ag_queue.jsonl).
+_DENSE_IMPL = os.environ.get("QUANT_DENSE_IMPL", "int8")
 
 
 def is_quantized(w) -> bool:
@@ -59,26 +74,35 @@ def _quantize_act(xf: jax.Array, axes) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def qdense(x: jax.Array, w: dict) -> jax.Array:
-    """x·Wᵀ with int8 MXU accumulation; returns fp32 (caller adds bias).
-
-    w: {"q": int8 (out, in), "s": f32 (out,)}. Per-token activation scales:
-    the row max over the contracted axis commutes with the dot, so the
-    rescale is exact for the quantized operands.
-    """
-    xq, sx = _quantize_act(x.astype(jnp.float32), axes=-1)
-    acc = jnp.einsum("...i,oi->...o", xq, w["q"], preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * sx * w["s"]
-
-
-def qdense_fused(x: jax.Array, ws: list) -> jax.Array:
-    """One int8 GEMM over concatenated (out, in) weights (fused qkv path):
-    quantizes x once, concatenates q/s along the out axis."""
-    q = jnp.concatenate([w["q"] for w in ws], axis=0)
-    s = jnp.concatenate([w["s"] for w in ws], axis=0)
+def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """Shared dense body over int8 (out, in) q and (out,) s; returns fp32."""
+    if _DENSE_IMPL == "dequant":
+        # w8: int8 weights streamed from HBM, dequantized into the dot's
+        # operand read (XLA fuses convert×scale into the GEMM) — bf16 MXU
+        # path, exact activations.
+        w = q.astype(x.dtype) * s.astype(x.dtype)[:, None]
+        return jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
     xq, sx = _quantize_act(x.astype(jnp.float32), axes=-1)
     acc = jnp.einsum("...i,oi->...o", xq, q, preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * sx * s
+
+
+def qdense(x: jax.Array, w: dict) -> jax.Array:
+    """x·Wᵀ over a quantized weight; returns fp32 (caller adds bias).
+
+    w: {"q": int8 (out, in), "s": f32 (out,)}. int8 mode uses per-token
+    activation scales: the row max over the contracted axis commutes with
+    the dot, so the rescale is exact for the quantized operands. dequant
+    mode (default, see _DENSE_IMPL) keeps activations exact.
+    """
+    return _qdense_impl(x, w["q"], w["s"])
+
+
+def qdense_fused(x: jax.Array, ws: list) -> jax.Array:
+    """One GEMM over concatenated (out, in) weights (fused qkv path)."""
+    q = jnp.concatenate([w["q"] for w in ws], axis=0)
+    s = jnp.concatenate([w["s"] for w in ws], axis=0)
+    return _qdense_impl(x, q, s)
 
 
 def qconv2d(x: jax.Array, p: dict, stride=1, padding=1) -> jax.Array:

@@ -306,3 +306,22 @@ def test_quant_composes_with_cfg_interval():
     m = np.asarray(mid, np.float32)
     assert np.isfinite(m).all()
     assert np.abs(m - np.asarray(ref, np.float32)).max() > 1e-4
+
+
+def test_qdense_dequant_impl(monkeypatch):
+    """QUANT_DENSE_IMPL=dequant (w8 weight-only): activations exact, error
+    comes from weight quantization alone — matches x @ (q·s) to fp32
+    precision and is strictly closer to the bf16 base than int8 mode."""
+    monkeypatch.setattr(quant, "_DENSE_IMPL", "dequant")
+    x = jax.random.normal(jax.random.key(0), (6, 32), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (16, 32), jnp.float32) * 0.2
+    qw = quant.quantize_weight(w, channel_axis=0)
+    got = quant.qdense(x, qw)
+    want = x @ (qw["q"].astype(jnp.float32) * qw["s"][:, None]).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    # fused-qkv path shares the impl switch
+    got3 = quant.qdense_fused(x, [qw, qw, qw])
+    np.testing.assert_allclose(
+        np.asarray(got3), np.concatenate([np.asarray(want)] * 3, axis=-1),
+        rtol=1e-5, atol=1e-5,
+    )
