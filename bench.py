@@ -629,6 +629,8 @@ def bench_latency(steps: int, repeats: int):
     times.sort()
     p50 = times[len(times) // 2]
     tag = f" PARA={window}/tol{tol}" if window > 0 else " sequential"
+    if qmode:
+        tag += f" QUANT={qmode}"
     return {
         "metric": f"p50 batch-1 latency 512x512 {steps}-step DDPM+CFG SD2.1+LoRA{tag}",
         "value": round(p50, 3),

@@ -807,6 +807,66 @@ def cmd_serve(argv):
     serve_http(server, args.host, args.port)
 
 
+def cmd_accel_report(argv):
+    """Quality report for the opt-in acceleration modes on YOUR checkpoint:
+    renders the same (prompt, seed) set exact and under each --mode spec,
+    reports per-image PSNR + optional ArcFace identity cosine + the
+    bit-identical fraction (evaluation/accel_report.py)."""
+    ap = argparse.ArgumentParser(prog="accel-report")
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--lora_dir", default=None, help="optional LoRA checkpoint to load first")
+    ap.add_argument(
+        "--mode", action="append", default=[], metavar="SPEC",
+        help="mode spec, repeatable: deepcache=3, tome=0.5, cfg_interval=5:20, "
+             "quantize=w8a8, parallel=8:0.1, or compositions joined with '+' "
+             "(e.g. deepcache=3+cfg_interval=5:20)",
+    )
+    ap.add_argument("--prompt", action="append", default=[],
+                    help="prompt, repeatable (default: one face-portrait prompt)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--guidance", type=float, default=5.0)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--scheduler", default="ddpm", choices=["ddpm", "dpm"])
+    ap.add_argument("--arcface_pth", default=None,
+                    help="ArcFace .pth — enables the identity-cosine rows")
+    ap.add_argument("--arcface_network", default="r100")
+    ap.add_argument("--output", default=None, help="write the report JSON here (also printed)")
+    args = ap.parse_args(argv)
+    if not args.mode:
+        ap.error("pass at least one --mode")
+
+    from .evaluation.accel_report import compare_modes, make_embed_fn_u8
+    from .pipelines import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
+    pipe.set_scheduler(args.scheduler)
+    if args.lora_dir:
+        pipe.load_lora_weights(args.lora_dir)
+
+    embed_fn = None
+    if args.arcface_pth:
+        from .bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
+        from .models import iresnet
+
+        cfg = iresnet.config_for(args.arcface_network)
+        ap_, st_ = convert_iresnet_state_dict(load_torch_pth(args.arcface_pth))
+        embed_fn = make_embed_fn_u8(ap_, st_, cfg)
+
+    prompts = args.prompt or ["photo of a person, portrait, high quality"]
+    report = compare_modes(
+        pipe, args.mode, prompts=prompts, seed=args.seed,
+        num_inference_steps=args.steps, guidance_scale=args.guidance,
+        height=args.height, width=args.width, embed_fn=embed_fn,
+    )
+    out = json.dumps(report, indent=2)
+    print(out)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+
+
 COMMANDS = {
     "parity": cmd_parity,
     "serve": cmd_serve,
@@ -820,6 +880,7 @@ COMMANDS = {
     "pyeer": cmd_pyeer,
     "fiqa": cmd_fiqa,
     "pose": cmd_pose,
+    "accel-report": cmd_accel_report,
 }
 
 
