@@ -515,10 +515,24 @@ def bench_serve(batch: int, steps: int, repeats: int):
     # per-request adapters packed into full batches (serving/engine.py).
     n_loras = int(os.environ.get("BENCH_SERVE_LORAS", "2"))
     multi = os.environ.get("BENCH_MULTILORA", "0") == "1"
-    server = SamplerServer(
-        pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
-        multi_lora=multi,
-    )
+    # BENCH_ROLLING=1: continuous batching (serving/rolling.py) — every slot
+    # advances its own denoise step per tick; requests admit immediately.
+    # BENCH_SERVE_STAGGER_MS=N: sleep N ms between submits (staggered
+    # arrivals — the traffic shape where rolling admission pays; applies to
+    # both engines for a fair comparison).
+    rolling = os.environ.get("BENCH_ROLLING", "0") == "1"
+    stagger_s = float(os.environ.get("BENCH_SERVE_STAGGER_MS", "0")) / 1e3
+    if rolling:
+        from faceposegenerator_tpu.serving import RollingServer
+
+        server = RollingServer(
+            pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
+        )
+    else:
+        server = SamplerServer(
+            pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
+            multi_lora=multi,
+        )
     from faceposegenerator_tpu.diffusion.lora_io import zero_lora
 
     zl = zero_lora(pipe.params["unet"], pipe.params["text_encoder"],
@@ -535,6 +549,12 @@ def bench_serve(batch: int, steps: int, repeats: int):
             )
             for i in range(n)
         ]
+        if stagger_s > 0:
+            futs = []
+            for r in reqs:
+                futs.append(server.submit(r))
+                time.sleep(stagger_s)
+            return [f.result() for f in futs]
         return server.generate(reqs)
 
     n = 2 * batch
@@ -542,22 +562,32 @@ def bench_serve(batch: int, steps: int, repeats: int):
     with server._stats_lock:  # drop compile-time batches from the telemetry
         for k in ("batch_times", "batch_sizes", "queue_times"):
             server._stats[k].clear()
-    times = []
+    times, req_lat = [], []
     for r in range(repeats):
         t0 = time.perf_counter()
-        burst(n, f"run{r}")
+        results = burst(n, f"run{r}")
         times.append(time.perf_counter() - t0)
+        # per-request service latency (queue wait + time in the engine) —
+        # the number continuous batching exists to improve under staggered
+        # arrivals; the burst wall time measures throughput
+        req_lat.extend(res.queue_s + res.batch_s for res in results)
     best = min(times)
+    req_lat.sort()
     server.shutdown()
     return {
         "metric": f"serving imgs/sec/chip 512x512 {steps}-step CFG (batch {batch}, "
         + (f"{n_loras}-LoRA bursts" if n_loras != 2 else "mixed-LoRA bursts")
         + (", multi_lora" if multi else "")
+        + (", ROLLING" if rolling else "")
+        + (f", stagger {int(stagger_s * 1e3)}ms" if stagger_s else "")
         + (f", QUANT={qmode}" if qmode else "") + ")",
         "value": round(n / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n / best / 30.0, 3),
-        "extra": {"burst_s": round(best, 2), "stats": server.stats(),
+        "extra": {"burst_s": round(best, 2),
+                  "p50_request_s": round(req_lat[len(req_lat) // 2], 3),
+                  "p95_request_s": round(req_lat[int(len(req_lat) * 0.95)], 3),
+                  "stats": server.stats(),
                   "device": str(jax.devices()[0])},
     }
 

@@ -739,6 +739,13 @@ def cmd_serve(argv):
              "full batches instead of fragmenting per LoRA",
     )
     ap.add_argument(
+        "--rolling", action="store_true",
+        help="continuous batching (serving/rolling.py): a persistent slot "
+             "buffer where every request advances its own denoise step per "
+             "tick — requests admit immediately instead of waiting for a "
+             "whole-batch program boundary; implies per-slot adapters",
+    )
+    ap.add_argument(
         "--deepcache", type=int, default=1, metavar="K",
         help="OPT-IN DeepCache approximation: full UNet every K-th denoise "
              "step, shallow-blocks + cached-deep-feature splice otherwise "
@@ -786,17 +793,27 @@ def cmd_serve(argv):
     pipe.set_scheduler(args.scheduler)
     if args.quantize:
         pipe.quantize(args.quantize)
-    server = SamplerServer(
-        pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
-        num_inference_steps=args.steps, guidance_scale=args.guidance,
-        height=args.size, width=args.size, scheduler=args.scheduler,
-        mesh=mesh, max_queue=args.max_queue,
-        request_timeout_s=args.request_timeout_s, multi_lora=args.multi_lora,
-        deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
-        tome_ratio=args.tome,
-        parallel_window=args.parallel_window, parallel_tolerance=args.parallel_tol,
-        cfg_interval=_parse_interval(args.cfg_interval),
-    )
+    if args.rolling:
+        from .serving import RollingServer
+
+        server = RollingServer(
+            pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
+            num_inference_steps=args.steps, guidance_scale=args.guidance,
+            height=args.size, width=args.size, scheduler=args.scheduler,
+            max_queue=args.max_queue, request_timeout_s=args.request_timeout_s,
+        )
+    else:
+        server = SamplerServer(
+            pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
+            num_inference_steps=args.steps, guidance_scale=args.guidance,
+            height=args.size, width=args.size, scheduler=args.scheduler,
+            mesh=mesh, max_queue=args.max_queue,
+            request_timeout_s=args.request_timeout_s, multi_lora=args.multi_lora,
+            deepcache_interval=args.deepcache, deepcache_depth=args.deepcache_depth,
+            tome_ratio=args.tome,
+            parallel_window=args.parallel_window, parallel_tolerance=args.parallel_tol,
+            cfg_interval=_parse_interval(args.cfg_interval),
+        )
     for spec in args.lora:
         name, _, path = spec.partition("=")
         if not path:
