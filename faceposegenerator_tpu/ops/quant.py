@@ -39,12 +39,16 @@ _EPS = 1e-8
 #   dequant: weight-only int8 (w8): dequantize q·s to the activation dtype
 #            inside the dot — weight HBM still halved, activations exact
 #            (no per-token quantize pass), matmul on the bf16 MXU path.
-# Motivation: the v5e probe (perf/r3af_queue.jsonl) measured XLA's int8
-# dot at 0.68× the bf16 dot at transformer shapes (no int8 fast path for
-# dots; convs DO win at 1.13×, probe v1). Whether dequant pays end-to-end
-# depends on XLA fusing the convert×scale into the GEMM operand read
-# rather than materializing a bf16 weight buffer — measured on-chip before
-# changing the default (perf/r3ag_queue.jsonl).
+# Measured (RTT-cancelled probe v4, perf/r3ah_queue.jsonl — earlier probes
+# carried the ~25 ms axon RTT inside the timed region and deflated every
+# rate): PURE int8 dots run 2.07× bf16 (367 vs 177 TOPS) and int8 3×3
+# convs 1.77×, but int8 1×1-conv LOWERINGS run 0.77× (qconv2d therefore
+# routes 1×1 kernels through the dot form). End-to-end, int8 vs dequant
+# dense measured a wash (2.327 vs 2.312 img/s, perf/r3ag_queue.jsonl):
+# the dynamic per-token quantize is 2 extra HBM passes over x plus an
+# fp32 epilogue, which at the UNet's small contraction widths eats the
+# MXU win — the memory-bound act-quant, not the int8 dot rate, is the
+# dense gap (see perf/r3aj_dense_probe.py).
 _DENSE_IMPL = os.environ.get("QUANT_DENSE_IMPL", "int8")
 
 
@@ -107,8 +111,26 @@ def qdense_fused(x: jax.Array, ws: list) -> jax.Array:
 
 def qconv2d(x: jax.Array, p: dict, stride=1, padding=1) -> jax.Array:
     """NHWC conv with int8 HWIO weights + per-sample int8 activations;
-    int32 MXU accumulation, fp32 rescale + bias, cast back to x.dtype."""
+    int32 MXU accumulation, fp32 rescale + bias, cast back to x.dtype.
+
+    1×1 kernels route through the dot lowering instead: XLA's int8
+    1×1-conv runs at 0.77× the bf16 conv while the int8 dot runs at
+    2.07× the bf16 dot (RTT-cancelled probe, perf/r3ah_queue.jsonl),
+    and a 1×1 conv is a per-pixel dense — per-token (per-pixel)
+    activation scales are exact there, strictly tighter than the
+    conv path's per-sample scale."""
     w = p["w"]
+    kh, kw = w["q"].shape[:2]
+    pad_zero = padding == 0 or padding == ((0, 0), (0, 0))
+    if kh == 1 and kw == 1 and pad_zero:
+        if stride != 1:
+            x = x[:, ::stride, ::stride, :]
+        xq, sx = _quantize_act(x.astype(jnp.float32), axes=-1)
+        acc = jnp.einsum(
+            "bhwi,io->bhwo", xq, w["q"][0, 0], preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * sx * w["s"]
+        return y.astype(x.dtype) + p["b"].astype(x.dtype)
     xq, sx = _quantize_act(x.astype(jnp.float32), axes=(1, 2, 3))
     dn = jax.lax.conv_dimension_numbers(x.shape, w["q"].shape, ("NHWC", "HWIO", "NHWC"))
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding

@@ -83,6 +83,28 @@ def test_qconv_accuracy_and_dtype():
     assert rel < 0.03, rel
 
 
+def test_qconv_1x1_dot_routing():
+    """1×1 quantized convs run as per-pixel denses (probe v4: int8 dot
+    2.07× bf16 vs int8 1×1-conv 0.77×, perf/r3ah_queue.jsonl) with exact
+    per-pixel activation scales; stride slices before the dot (UNet
+    conv_shortcut is stride 1, IResNet down_conv stride 2)."""
+    k1, k2 = jax.random.split(jax.random.key(3))
+    x = jax.random.normal(k1, (2, 8, 8, 16), jnp.float32)
+    wf = jax.random.normal(k2, (1, 1, 16, 12), jnp.float32) / 16**0.5
+    p = {"w": quant.quantize_weight(wf, channel_axis=-1), "b": jnp.zeros((12,), jnp.float32)}
+    for stride in (1, 2):
+        exact = unet2d.conv2d(x, {"w": wf, "b": p["b"]}, stride=stride, padding=0)
+        got = quant.qconv2d(x, p, stride=stride, padding=0)
+        assert got.shape == exact.shape
+        rel = np.linalg.norm(np.asarray(got - exact)) / np.linalg.norm(np.asarray(exact))
+        assert rel < 0.02, (stride, rel)
+        # numpy oracle: the dot form IS per-pixel qdense over the channel axis
+        want = _np_qdense(
+            np.asarray(x[:, ::stride, ::stride, :]), np.asarray(wf[0, 0]).T
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
 def test_quantize_tree_skips_and_structure():
     params = unet2d.init(jax.random.key(0), CFG)
     q = quant.quantize_unet(params)
