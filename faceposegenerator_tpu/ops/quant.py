@@ -34,11 +34,17 @@ import jax.numpy as jnp
 
 _EPS = 1e-8
 
-# QUANT_DENSE_IMPL=int8|dequant — how qdense runs the base matmul.
+# QUANT_DENSE_IMPL=int8|dequant|mixed — how qdense runs the base matmul.
 #   int8:    quantize activations per-token, int8×int8→int32 on the MXU.
 #   dequant: weight-only int8 (w8): dequantize q·s to the activation dtype
 #            inside the dot — weight HBM still halved, activations exact
 #            (no per-token quantize pass), matmul on the bf16 MXU path.
+#   mixed:   per-shape routing from the differenced-chain probe
+#            (perf/r3aj_queue.jsonl): int8 for contraction width
+#            K ≥ QUANT_MIXED_K (default 512 — probe: 1.53×/1.78× at
+#            K=640/1280), dequant below it (probe read 1.87× vs int8's
+#            1.13× at K=320, possibly an epilogue-fusion artifact —
+#            benched end-to-end before trusting).
 # Measured (RTT-cancelled probe v4, perf/r3ah_queue.jsonl — earlier probes
 # carried the ~25 ms axon RTT inside the timed region and deflated every
 # rate): PURE int8 dots run 2.07× bf16 (367 vs 177 TOPS) and int8 3×3
@@ -50,6 +56,7 @@ _EPS = 1e-8
 # MXU win — the memory-bound act-quant, not the int8 dot rate, is the
 # dense gap (see perf/r3aj_dense_probe.py).
 _DENSE_IMPL = os.environ.get("QUANT_DENSE_IMPL", "int8")
+_MIXED_K = int(os.environ.get("QUANT_MIXED_K", "512"))
 
 
 def is_quantized(w) -> bool:
@@ -80,7 +87,10 @@ def _quantize_act(xf: jax.Array, axes) -> tuple[jax.Array, jax.Array]:
 
 def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     """Shared dense body over int8 (out, in) q and (out,) s; returns fp32."""
-    if _DENSE_IMPL == "dequant":
+    impl = _DENSE_IMPL
+    if impl == "mixed":
+        impl = "int8" if q.shape[1] >= _MIXED_K else "dequant"
+    if impl == "dequant":
         # w8: int8 weights streamed from HBM, dequantized into the dot's
         # operand read (XLA fuses convert×scale into the GEMM) — bf16 MXU
         # path, exact activations.

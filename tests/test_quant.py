@@ -347,3 +347,25 @@ def test_qdense_dequant_impl(monkeypatch):
         np.asarray(got3), np.concatenate([np.asarray(want)] * 3, axis=-1),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_qdense_mixed_impl(monkeypatch):
+    """QUANT_DENSE_IMPL=mixed routes on the contraction width: K below
+    QUANT_MIXED_K runs dequant (exact activations), K at/above runs the
+    dynamic-int8 body — each equal to forcing that impl directly."""
+    x32 = jax.random.normal(jax.random.key(2), (6, 32), jnp.float32)
+    x64 = jax.random.normal(jax.random.key(3), (6, 64), jnp.float32)
+    w32 = quant.quantize_weight(
+        jax.random.normal(jax.random.key(4), (16, 32), jnp.float32) * 0.2, 0
+    )
+    w64 = quant.quantize_weight(
+        jax.random.normal(jax.random.key(5), (16, 64), jnp.float32) * 0.2, 0
+    )
+    monkeypatch.setattr(quant, "_DENSE_IMPL", "dequant")
+    want_deq = quant.qdense(x32, w32)
+    monkeypatch.setattr(quant, "_DENSE_IMPL", "int8")
+    want_int8 = quant.qdense(x64, w64)
+    monkeypatch.setattr(quant, "_DENSE_IMPL", "mixed")
+    monkeypatch.setattr(quant, "_MIXED_K", 64)
+    np.testing.assert_array_equal(np.asarray(quant.qdense(x32, w32)), np.asarray(want_deq))
+    np.testing.assert_array_equal(np.asarray(quant.qdense(x64, w64)), np.asarray(want_int8))
