@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 _EPS = 1e-8
 
-# QUANT_DENSE_IMPL=int8|dequant|mixed — how qdense runs the base matmul.
+# QUANT_DENSE_IMPL=int8|dequant|mixed|pallas — how qdense runs the base matmul.
 #   int8:    quantize activations per-token, int8×int8→int32 on the MXU.
 #   dequant: weight-only int8 (w8): dequantize q·s to the activation dtype
 #            inside the dot — weight HBM still halved, activations exact
@@ -45,6 +45,9 @@ _EPS = 1e-8
 #            K=640/1280), dequant below it (probe read 1.87× vs int8's
 #            1.13× at K=320, possibly an epilogue-fusion artifact —
 #            benched end-to-end before trusting).
+#   pallas:  fused quantize+int8-dot+rescale kernel (ops/quant_pallas.py)
+#            — x read from HBM once instead of the XLA path's 2–3 extra
+#            act-quant passes; output rounded to x.dtype in-kernel.
 # Measured (RTT-cancelled probe v4, perf/r3ah_queue.jsonl — earlier probes
 # carried the ~25 ms axon RTT inside the timed region and deflated every
 # rate): PURE int8 dots run 2.07× bf16 (367 vs 177 TOPS) and int8 3×3
@@ -57,6 +60,9 @@ _EPS = 1e-8
 # dense gap (see perf/r3aj_dense_probe.py).
 _DENSE_IMPL = os.environ.get("QUANT_DENSE_IMPL", "int8")
 _MIXED_K = int(os.environ.get("QUANT_MIXED_K", "512"))
+# QUANT_CONV1X1=dot|conv — A/B knob for the 1×1-kernel routing (probe v4
+# says dot; end-to-end sampler/embed controls in perf/r3al_queue.jsonl).
+_CONV1X1 = os.environ.get("QUANT_CONV1X1", "dot")
 
 
 def is_quantized(w) -> bool:
@@ -90,6 +96,12 @@ def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     impl = _DENSE_IMPL
     if impl == "mixed":
         impl = "int8" if q.shape[1] >= _MIXED_K else "dequant"
+    if impl == "pallas":
+        from . import quant_pallas
+
+        return quant_pallas.qdense_pallas(
+            x, q, s, interpret=jax.default_backend() != "tpu"
+        )
     if impl == "dequant":
         # w8: int8 weights streamed from HBM, dequantized into the dot's
         # operand read (XLA fuses convert×scale into the GEMM) — bf16 MXU
@@ -132,7 +144,7 @@ def qconv2d(x: jax.Array, p: dict, stride=1, padding=1) -> jax.Array:
     w = p["w"]
     kh, kw = w["q"].shape[:2]
     pad_zero = padding == 0 or padding == ((0, 0), (0, 0))
-    if kh == 1 and kw == 1 and pad_zero:
+    if kh == 1 and kw == 1 and pad_zero and _CONV1X1 == "dot":
         if stride != 1:
             x = x[:, ::stride, ::stride, :]
         xq, sx = _quantize_act(x.astype(jnp.float32), axes=-1)

@@ -349,6 +349,42 @@ def test_qdense_dequant_impl(monkeypatch):
     )
 
 
+def test_qdense_pallas_matches_int8_impl(monkeypatch):
+    """QUANT_DENSE_IMPL=pallas (fused quantize+int8-dot kernel, interpret
+    mode here): same quantization arithmetic as the XLA int8 body — fp32
+    inputs match it bitwise (the in-kernel output cast is the identity at
+    fp32); bf16 inputs match up to that single output rounding. Exercises
+    the M/N padding paths and >2-D leading dims."""
+    from faceposegenerator_tpu.ops import quant_pallas
+
+    k1, k2 = jax.random.split(jax.random.key(7))
+    w = jax.random.normal(k2, (24, 40), jnp.float32) * 0.3
+    qw = quant.quantize_weight(w, channel_axis=0)
+    for shape in ((6, 40), (37, 40), (2, 3, 40)):
+        x = jax.random.normal(k1, shape, jnp.float32)
+        monkeypatch.setattr(quant, "_DENSE_IMPL", "int8")
+        want = quant.qdense(x, qw)
+        got = quant_pallas.qdense_pallas(
+            x, qw["q"], qw["s"], block_m=16, block_n=128, interpret=True
+        )
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # the impl switch routes through the same kernel
+        monkeypatch.setattr(quant, "_DENSE_IMPL", "pallas")
+        via_switch = quant.qdense(x, qw)
+        np.testing.assert_array_equal(np.asarray(via_switch), np.asarray(want))
+    # bf16 activations: one extra output rounding vs the fp32 return
+    xb = jax.random.normal(k1, (6, 40), jnp.bfloat16)
+    monkeypatch.setattr(quant, "_DENSE_IMPL", "int8")
+    want = quant.qdense(xb, qw)
+    got = quant_pallas.qdense_pallas(xb, qw["q"], qw["s"], interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
 def test_qdense_mixed_impl(monkeypatch):
     """QUANT_DENSE_IMPL=mixed routes on the contraction width: K below
     QUANT_MIXED_K runs dequant (exact activations), K at/above runs the
