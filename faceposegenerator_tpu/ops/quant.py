@@ -60,9 +60,14 @@ _EPS = 1e-8
 # dense gap (see perf/r3aj_dense_probe.py).
 _DENSE_IMPL = os.environ.get("QUANT_DENSE_IMPL", "int8")
 _MIXED_K = int(os.environ.get("QUANT_MIXED_K", "512"))
-# QUANT_CONV1X1=dot|conv — A/B knob for the 1×1-kernel routing (probe v4
-# says dot; end-to-end sampler/embed controls in perf/r3al_queue.jsonl).
-_CONV1X1 = os.environ.get("QUANT_CONV1X1", "dot")
+# QUANT_CONV1X1=conv|dot — 1×1-kernel routing. The isolated-op probe said
+# dot (int8 dot 2.07× vs int8 1×1-conv 0.77×, perf/r3ah_queue.jsonl), but
+# IN PROGRAM the dot form measured a same-day −2.4% on the w8a8 sampler
+# (2.276 vs 2.332, perf/r3al_queue.jsonl): its exact per-pixel activation
+# scales are a full per-pixel reduce where the conv form's per-sample
+# scale amortizes, and XLA fuses the conv into its neighbors. Op-level
+# rates do not survive context — default stays conv, measured.
+_CONV1X1 = os.environ.get("QUANT_CONV1X1", "conv")
 
 
 def is_quantized(w) -> bool:
@@ -135,12 +140,11 @@ def qconv2d(x: jax.Array, p: dict, stride=1, padding=1) -> jax.Array:
     """NHWC conv with int8 HWIO weights + per-sample int8 activations;
     int32 MXU accumulation, fp32 rescale + bias, cast back to x.dtype.
 
-    1×1 kernels route through the dot lowering instead: XLA's int8
-    1×1-conv runs at 0.77× the bf16 conv while the int8 dot runs at
-    2.07× the bf16 dot (RTT-cancelled probe, perf/r3ah_queue.jsonl),
-    and a 1×1 conv is a per-pixel dense — per-token (per-pixel)
-    activation scales are exact there, strictly tighter than the
-    conv path's per-sample scale."""
+    QUANT_CONV1X1=dot routes 1×1 kernels through the dot lowering with
+    exact per-pixel activation scales (a 1×1 conv is a per-pixel dense) —
+    faster as an isolated op (probe v4) but measured −2.4% in the real
+    sampler program (see the _CONV1X1 comment above), so conv is the
+    default."""
     w = p["w"]
     kh, kw = w["q"].shape[:2]
     pad_zero = padding == 0 or padding == ((0, 0), (0, 0))

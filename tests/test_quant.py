@@ -83,11 +83,12 @@ def test_qconv_accuracy_and_dtype():
     assert rel < 0.03, rel
 
 
-def test_qconv_1x1_dot_routing():
-    """1×1 quantized convs run as per-pixel denses (probe v4: int8 dot
-    2.07× bf16 vs int8 1×1-conv 0.77×, perf/r3ah_queue.jsonl) with exact
-    per-pixel activation scales; stride slices before the dot (UNet
-    conv_shortcut is stride 1, IResNet down_conv stride 2)."""
+def test_qconv_1x1_dot_routing(monkeypatch):
+    """QUANT_CONV1X1=dot runs 1×1 quantized convs as per-pixel denses with
+    exact per-pixel activation scales; stride slices before the dot (UNet
+    conv_shortcut is stride 1, IResNet down_conv stride 2). Off by default
+    (measured −2.4% in-program, perf/r3al_queue.jsonl) but kept correct."""
+    monkeypatch.setattr(quant, "_CONV1X1", "dot")
     k1, k2 = jax.random.split(jax.random.key(3))
     x = jax.random.normal(k1, (2, 8, 8, 16), jnp.float32)
     wf = jax.random.normal(k2, (1, 1, 16, 12), jnp.float32) / 16**0.5
@@ -103,6 +104,12 @@ def test_qconv_1x1_dot_routing():
             np.asarray(x[:, ::stride, ::stride, :]), np.asarray(wf[0, 0]).T
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    # the default conv routing agrees with the exact conv within quant error
+    monkeypatch.setattr(quant, "_CONV1X1", "conv")
+    exact = unet2d.conv2d(x, {"w": wf, "b": p["b"]}, stride=2, padding=0)
+    got = quant.qconv2d(x, p, stride=2, padding=0)
+    rel = np.linalg.norm(np.asarray(got - exact)) / np.linalg.norm(np.asarray(exact))
+    assert rel < 0.03, rel
 
 
 def test_quantize_tree_skips_and_structure():
