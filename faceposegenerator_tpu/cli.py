@@ -800,7 +800,8 @@ def cmd_serve(argv):
             pipe, batch_size=args.batch_size, max_wait_s=args.max_wait_ms / 1e3,
             num_inference_steps=args.steps, guidance_scale=args.guidance,
             height=args.size, width=args.size, scheduler=args.scheduler,
-            max_queue=args.max_queue, request_timeout_s=args.request_timeout_s,
+            mesh=mesh, max_queue=args.max_queue,
+            request_timeout_s=args.request_timeout_s,
         )
     else:
         server = SamplerServer(

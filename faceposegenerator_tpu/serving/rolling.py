@@ -45,7 +45,11 @@ No reference equivalent: the reference generates one image at a time and
 reloads the pipeline per identity (`inference_ID-Booth.py:103-144`).
 Approximation modes (DeepCache/ToMe/cfg_interval) are NOT composable with
 rolling slots (their state is step-synchronized across the batch);
-quantization composes (it is param-side) via `pipe.quantize`.
+quantization composes (it is param-side) via `pipe.quantize`, and a
+`jax.sharding.Mesh` composes data-parallel: the persistent slot buffers
+shard over the "data" axis (`_place`), params/stacked adapters replicate
+(base class), and every tick is one SPMD program — CPU-mesh parity test
+in tests/test_rolling.py.
 """
 
 from __future__ import annotations
@@ -163,7 +167,7 @@ class RollingServer(SamplerServer):
     """
 
     def __init__(self, pipe, **kw):
-        for bad in ("mesh", "parallel_window", "deepcache_interval",
+        for bad in ("parallel_window", "deepcache_interval",
                     "tome_ratio", "cfg_interval"):
             if kw.get(bad):
                 raise ValueError(f"{bad} is not composable with RollingServer")
@@ -171,6 +175,21 @@ class RollingServer(SamplerServer):
             raise ValueError("RollingServer supports the ddpm scheduler")
         kw["multi_lora"] = True  # per-slot adapters by construction
         super().__init__(pipe, **kw)
+
+    def _place(self, x, batch_dim=0):
+        """Under a mesh, pin the persistent slot state to the "data" axis
+        (the slot dim, `batch_dim`) so every tick runs SPMD with slot rows
+        resident; re-placed host-built arrays (the step mirror after an
+        admission) keep the SAME sharding so the tick program never
+        retraces."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.mesh import DATA_AXIS
+
+        spec = P(*([None] * batch_dim + [DATA_AXIS]))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     # the classic batch collector/executor are unused; the rolling loop
     # owns the worker thread (started by SamplerServer.__init__ — method
@@ -195,10 +214,10 @@ class RollingServer(SamplerServer):
                 self._params["text_encoder"], jnp.zeros((1, 77), jnp.int32),
                 models.text_cfg, policy=policy,
             )
-            ctx_buf = jnp.zeros((2 * B, 77, probe.shape[-1]), probe.dtype)
-            noise_buf = jnp.zeros((S + 1, B, h, w, 4), jnp.float32)
-            latents = jnp.zeros((B, h, w, 4), jnp.float32)
-            step_dev = jnp.full((B,), S, jnp.int32)
+            ctx_buf = self._place(jnp.zeros((2 * B, 77, probe.shape[-1]), probe.dtype))
+            noise_buf = self._place(jnp.zeros((S + 1, B, h, w, 4), jnp.float32), batch_dim=1)
+            latents = self._place(jnp.zeros((B, h, w, 4), jnp.float32))
+            step_dev = self._place(jnp.full((B,), S, jnp.int32))
 
             while not self._stop.is_set():
                 # --- admit into free slots --------------------------------
@@ -223,7 +242,8 @@ class RollingServer(SamplerServer):
                     meta[slot] = (req, fut, t_sub, time.perf_counter())
                     steps[slot] = 0
                     admitted = True
-                step_dev = jnp.asarray(steps, jnp.int32) if admitted else step_dev
+                if admitted:
+                    step_dev = self._place(jnp.asarray(steps, jnp.int32))
 
                 if all(m is None for m in meta):
                     with self._pending_cv:
@@ -256,8 +276,17 @@ class RollingServer(SamplerServer):
                 for i in range(B):
                     if meta[i] is not None and steps[i] >= S:
                         req, fut, t_sub, t_adm = meta[i]
+                        lat_i = latents[i]
+                        if self.mesh is not None:
+                            # params are mesh-replicated; replicate the slot's
+                            # latent so the batch-1 decode is one SPMD program
+                            from jax.sharding import NamedSharding, PartitionSpec
+
+                            lat_i = jax.device_put(
+                                lat_i, NamedSharding(self.mesh, PartitionSpec())
+                            )
                         img = np.asarray(_decode1(
-                            self._params["vae"], latents[i],
+                            self._params["vae"], lat_i,
                             models=models, policy=policy,
                         ))  # blocking fetch — the only one in the loop
                         t1 = time.perf_counter()

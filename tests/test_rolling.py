@@ -146,6 +146,42 @@ def test_rejects_uncomposable_modes():
         RollingServer(pipe, scheduler="dpm", **KW)
 
 
+def test_mesh_dp_rolling_matches_single_device():
+    """Rolling slots shard over the mesh "data" axis (persistent ctx/noise/
+    latent buffers pinned with `_place`, params/stacked LoRAs replicated by
+    the base class): the same requests through a 4-device rolling server
+    reproduce the single-device rolling server, slot reuse included (6
+    requests through 4 slots). fp32 policy — cross-placement programs may
+    differ in reduction order, so allow 1 uint8 code."""
+    from faceposegenerator_tpu.core.mesh import make_mesh
+
+    pipe = _pipe()
+    mesh = make_mesh(devices=jax.devices()[:4])
+    kw = {**KW, "batch_size": 4}
+    single = RollingServer(pipe, **kw)
+    meshed = RollingServer(pipe, mesh=mesh, **kw)
+    try:
+        lora = _rand_lora(single)
+        single.register_lora("idA", lora)
+        meshed.register_lora("idA", lora)
+        reqs = [
+            GenerationRequest(prompt=f"mesh roll {i}", seed=40 + i,
+                              lora_id="idA" if i % 2 else None)
+            for i in range(6)
+        ]
+        out_m = meshed.generate(reqs)
+        out_s = single.generate(reqs)
+        for m, s in zip(out_m, out_s):
+            diff = np.abs(m.image.astype(int) - s.image.astype(int))
+            assert diff.max() <= 1, diff.max()
+        # slot count must divide the data axis
+        with pytest.raises(ValueError, match="data axis"):
+            RollingServer(pipe, mesh=mesh, **{**KW, "batch_size": 3})
+    finally:
+        single.shutdown(wait=False)
+        meshed.shutdown(wait=False)
+
+
 def test_shutdown_fails_inflight_and_queued():
     pipe = _pipe()
     srv = RollingServer(pipe, **KW)
