@@ -191,6 +191,10 @@ def bench_sweep(repeats: int):
     # (pipelines.sweep pack_variants) — at 3×21 that is 8 batches vs 9.
     n_models = int(os.environ.get("BENCH_SWEEP_MODELS", "1"))
     pack = os.environ.get("BENCH_SWEEP_PACK", "0") == "1"
+    # turbo knobs thread through run_sweep (opt-in, reported in the tag)
+    sweep_dc = int(os.environ.get("BENCH_DEEPCACHE", "1"))
+    civ = os.environ.get("BENCH_CFG_INTERVAL", "")
+    sweep_civ = tuple(int(v) for v in civ.split(":")) if civ else None
     from faceposegenerator_tpu.pipelines.sweep import MODEL_VARIANTS
 
     models_to_test = MODEL_VARIANTS[-n_models:]
@@ -225,6 +229,7 @@ def bench_sweep(repeats: int):
             guidance_scale=5.0, batch_size=gen_batch, seed=0,
             on_images=harness if run_eval else None, write_pngs=write_pngs,
             pack_variants=pack,
+            deepcache_interval=sweep_dc, cfg_interval=sweep_civ,
         )
         if not run_eval:
             return
@@ -254,6 +259,10 @@ def bench_sweep(repeats: int):
     models_tag = f" x {n_models} variants" if n_models != 1 else ""
     pack_tag = ", packed" if pack else ""
     quant_tag = f", QUANT={qmode}" if qmode else ""
+    if sweep_dc > 1:
+        quant_tag += f", DEEPCACHE={sweep_dc}"
+    if sweep_civ is not None:
+        quant_tag += f", CFGIV={sweep_civ[0]}:{sweep_civ[1]}"
     return {
         "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}{models_tag}{pack_tag}{quant_tag}, 30-step CFG + FIQA + pose)",
         "value": round(n_images / best, 3),
@@ -634,6 +643,18 @@ def bench_latency(steps: int, repeats: int):
     neg = jnp.zeros_like(ids)
     kw = dict(models=models, guidance_scale=5.0, height=512, width=512,
               policy=policy, lora=lora)
+    # turbo knobs compose with the sequential batch-1 path (NOT with the
+    # Picard window — its iterates are step-synchronized)
+    dc = int(os.environ.get("BENCH_DEEPCACHE", "1"))
+    dc_depth = int(os.environ.get("BENCH_DEEPCACHE_DEPTH", "1"))
+    cfg_iv = os.environ.get("BENCH_CFG_INTERVAL", "")
+    cfg_interval = tuple(int(v) for v in cfg_iv.split(":")) if cfg_iv else None
+    if window == 0:
+        kw.update(deepcache_interval=dc, deepcache_depth=dc_depth,
+                  cfg_interval=cfg_interval)
+    elif dc > 1 or cfg_interval is not None:
+        raise SystemExit("BENCH_DEEPCACHE/BENCH_CFG_INTERVAL do not compose "
+                         "with BENCH_PARA_WINDOW")
 
     def run(key):
         if window > 0:
@@ -661,6 +682,10 @@ def bench_latency(steps: int, repeats: int):
     tag = f" PARA={window}/tol{tol}" if window > 0 else " sequential"
     if qmode:
         tag += f" QUANT={qmode}"
+    if window == 0 and dc > 1:
+        tag += f" DEEPCACHE={dc}/d{dc_depth}"
+    if window == 0 and cfg_interval is not None:
+        tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
     return {
         "metric": f"p50 batch-1 latency 512x512 {steps}-step DDPM+CFG SD2.1+LoRA{tag}",
         "value": round(p50, 3),
