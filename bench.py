@@ -25,9 +25,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the 512² sampler is a big XLA program and
-# (remote) compiles take ~10 min; cache hits bring reruns to seconds.
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+# Persistent compilation cache, scoped per host CPU type — a cross-machine
+# CPU AOT entry can SIGILL the loading process (core/compile.py docstring).
+from faceposegenerator_tpu.core.compile import machine_scoped_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", machine_scoped_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -16,11 +16,33 @@ Knobs (only injected when set, so CPU tests never see TPU-only options):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Optional
 
 import jax
+
+
+def machine_scoped_cache_dir(root: str = "~/.cache/jax_comp_cache") -> str:
+    """Persistent-compile-cache dir keyed by THIS host's CPU feature set.
+
+    The environment restarts across machine types; a CPU AOT cache entry
+    compiled elsewhere loads with mismatched machine features ("+prefer-no-
+    scatter is not supported on the host machine … could lead to execution
+    errors such as SIGILL") — i.e. a cross-host cache can silently kill the
+    process that trusts it. Scoping the directory by a cpuinfo-flags hash
+    makes entries single-host by construction. (TPU programs are unaffected
+    either way: the axon remote compiler ignores the persistent cache.)"""
+    try:
+        with open("/proc/cpuinfo") as f:
+            tag_src = next(l for l in f if l.startswith("flags"))
+    except (OSError, StopIteration):  # non-Linux fallback
+        import platform
+
+        tag_src = f"{platform.machine()}-{platform.processor()}"
+    tag = hashlib.sha1(tag_src.encode()).hexdigest()[:12]
+    return os.path.expanduser(os.path.join(root, tag))
 
 
 def compiler_options_from_env() -> Optional[dict]:
