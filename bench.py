@@ -287,10 +287,13 @@ def bench_embed(batch: int, repeats: int):
     # BENCH_QUANT=w8a8: OPT-IN int8 body (ops/quant.py) — v5e MXU int8 runs
     # at 2x the bf16 rate; reported with a QUANT tag, never as the default.
     qmode = os.environ.get("BENCH_QUANT", "")
+    qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
         from faceposegenerator_tpu.ops.quant import quantize_iresnet
 
-        params = quantize_iresnet(params)
+        params = quantize_iresnet(
+            params, act_scale=float(qact) if qact else None
+        )
 
     from faceposegenerator_tpu.core.compile import jit as _options_jit
 
@@ -309,7 +312,8 @@ def bench_embed(batch: int, repeats: int):
     best = min(times)
     return {
         "metric": f"ArcFace r100 embeds/sec/chip 112x112 bs{batch}"
-        + (f" QUANT={qmode}" if qmode else ""),
+        + (f" QUANT={qmode}" if qmode else "")
+        + (f" ACT=static{qact}" if qmode and qact else ""),
         "value": round(batch / best, 1),
         "unit": "img/s",
         "vs_baseline": round(batch / best / 1000.0, 3),
@@ -780,10 +784,20 @@ def main():
     # int8x int8->int32 on the MXU (2x bf16 rate on v5e); CLIP/VAE and the
     # exact default program untouched. Reported with a QUANT tag.
     qmode = os.environ.get("BENCH_QUANT", "")
+    # BENCH_QUANT_ACT=<float>: static per-tensor activation scales stamped on
+    # every quantized site (ops/quant.py) — removes the dynamic amax reduce
+    # passes over activations; perf-equivalent to a calibrated tree (same
+    # program, different constants). Tagged ACT=static in the metric.
+    qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
         from faceposegenerator_tpu.ops.quant import quantize_unet
 
-        params = dict(params, unet=quantize_unet(params["unet"]))
+        params = dict(
+            params,
+            unet=quantize_unet(
+                params["unet"], act_scale=float(qact) if qact else None
+            ),
+        )
 
     def run(key):
         return sample(
@@ -815,7 +829,7 @@ def main():
     if cfg_interval is not None:
         tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
     if qmode:
-        tag += f" QUANT={qmode}"
+        tag += f" QUANT={qmode}" + (f" ACT=static{qact}" if qact else "")
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),

@@ -27,6 +27,7 @@ bench metric like DeepCache/ToMe.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -71,8 +72,17 @@ _CONV1X1 = os.environ.get("QUANT_CONV1X1", "conv")
 
 
 def is_quantized(w) -> bool:
-    """True if `w` is a quantized-weight dict produced by quantize_weight."""
-    return isinstance(w, dict) and "q" in w
+    """True if `w` is a quantized-weight dict produced by quantize_weight.
+
+    The int8-dtype check matters: module dicts can legitimately carry a
+    "q" SUBMODULE key (attention query projections), which must not be
+    mistaken for a quantized leaf."""
+    return (
+        isinstance(w, dict)
+        and "q" in w
+        and "s" in w
+        and getattr(w["q"], "dtype", None) == jnp.int8
+    )
 
 
 def weight_shape(w):
@@ -80,13 +90,30 @@ def weight_shape(w):
     return w["q"].shape if is_quantized(w) else w.shape
 
 
-def quantize_weight(w: jax.Array, channel_axis: int) -> dict:
-    """Symmetric per-out-channel int8: q = round(w / s), s = absmax/127."""
+def quantize_weight(w: jax.Array, channel_axis: int, act_scale=None) -> dict:
+    """Symmetric per-out-channel int8: q = round(w / s), s = absmax/127.
+
+    `act_scale`: optional STATIC per-tensor activation scale — stored as a
+    scalar `"a"` leaf; its presence switches this site's activation quantize
+    from dynamic (amax reduce + rescale) to a pure elementwise
+    round(x/a)·clip, removing the reduce pass over x (see `qdense`). Scales
+    come from `observe_act_scales`/`freeze_act_scales` calibration (or a
+    probe constant)."""
     wf = jnp.asarray(w, jnp.float32)
     axes = tuple(a for a in range(wf.ndim) if a != channel_axis % wf.ndim)
     s = jnp.maximum(jnp.max(jnp.abs(wf), axis=axes, keepdims=True), _EPS) / 127.0
     q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
-    return {"q": q, "s": s.reshape(-1).astype(jnp.float32)}
+    out = {"q": q, "s": s.reshape(-1).astype(jnp.float32)}
+    if act_scale is not None:
+        out["a"] = jnp.asarray(act_scale, jnp.float32)
+    return out
+
+
+# Execution-order-free calibration side channel: maps id(q_array) -> running
+# activation absmax, filled by the ops while `observe_act_scales` is active
+# (EAGER execution only — under jit the float() below raises on tracers,
+# loudly rejecting mis-use).
+_CALIB = None
 
 
 def _quantize_act(xf: jax.Array, axes) -> tuple[jax.Array, jax.Array]:
@@ -96,8 +123,34 @@ def _quantize_act(xf: jax.Array, axes) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
-    """Shared dense body over int8 (out, in) q and (out,) s; returns fp32."""
+def _quantize_act_static(xf: jax.Array, a: jax.Array) -> jax.Array:
+    """Static symmetric int8 with a per-tensor scale: NO reduce over x —
+    the whole quantize is elementwise, so XLA fuses it into x's producer
+    (which then writes int8, halving that HBM write) instead of re-reading
+    x for an amax pass."""
+    return jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+
+
+def _observe(q: jax.Array, xf: jax.Array) -> None:
+    """Record this site's activation absmax under `observe_act_scales`."""
+    if _CALIB is not None:
+        amax = float(jnp.max(jnp.abs(xf)))
+        key = id(q)
+        _CALIB[key] = max(_CALIB.get(key, 0.0), amax)
+
+
+def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array, a=None) -> jax.Array:
+    """Shared dense body over int8 (out, in) q and (out,) s; returns fp32.
+
+    `a`: optional static per-tensor activation scale — when present the
+    int8 path quantizes x elementwise against it (no per-token amax
+    reduce); presence in the weight leaf is the opt-in."""
+    if a is not None:
+        xf = x.astype(jnp.float32)
+        _observe(q, xf)
+        xq = _quantize_act_static(xf, a)
+        acc = jnp.einsum("...i,oi->...o", xq, q, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (a * s)
     impl = _DENSE_IMPL
     if impl == "mixed":
         impl = "int8" if q.shape[1] >= _MIXED_K else "dequant"
@@ -113,7 +166,9 @@ def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
         # path, exact activations.
         w = q.astype(x.dtype) * s.astype(x.dtype)[:, None]
         return jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
-    xq, sx = _quantize_act(x.astype(jnp.float32), axes=-1)
+    xf = x.astype(jnp.float32)
+    _observe(q, xf)
+    xq, sx = _quantize_act(xf, axes=-1)
     acc = jnp.einsum("...i,oi->...o", xq, q, preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * sx * s
 
@@ -121,19 +176,34 @@ def _qdense_impl(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 def qdense(x: jax.Array, w: dict) -> jax.Array:
     """x·Wᵀ over a quantized weight; returns fp32 (caller adds bias).
 
-    w: {"q": int8 (out, in), "s": f32 (out,)}. int8 mode uses per-token
-    activation scales: the row max over the contracted axis commutes with
-    the dot, so the rescale is exact for the quantized operands. dequant
-    mode (default, see _DENSE_IMPL) keeps activations exact.
+    w: {"q": int8 (out, in), "s": f32 (out,)[, "a": f32 static act scale]}.
+    int8 mode uses per-token activation scales: the row max over the
+    contracted axis commutes with the dot, so the rescale is exact for the
+    quantized operands. With "a" present the activation quantize is static
+    (calibrated) — coarser numerically, reduce-free. dequant mode (see
+    _DENSE_IMPL) keeps activations exact.
     """
-    return _qdense_impl(x, w["q"], w["s"])
+    return _qdense_impl(x, w["q"], w["s"], w.get("a"))
 
 
 def qdense_fused(x: jax.Array, ws: list) -> jax.Array:
-    """One GEMM over concatenated (out, in) weights (fused qkv path)."""
+    """One GEMM over concatenated (out, in) weights (fused qkv path).
+
+    Static act scales: the members share one input x, so their calibrated
+    scales agree up to observation noise — the max is used for the shared
+    quantize (safe: a larger scale never clips harder)."""
+    if _CALIB is not None:  # observe per MEMBER leaf (the concat q below is
+        xf = x.astype(jnp.float32)  # a temporary — its id() keys nothing)
+        for w in ws:
+            _observe(w["q"], xf)
     q = jnp.concatenate([w["q"] for w in ws], axis=0)
     s = jnp.concatenate([w["s"] for w in ws], axis=0)
-    return _qdense_impl(x, q, s)
+    a = None
+    if all("a" in w for w in ws):
+        a = ws[0]["a"]
+        for w in ws[1:]:
+            a = jnp.maximum(a, w["a"])
+    return _qdense_impl(x, q, s, a)
 
 
 def qconv2d(x: jax.Array, p: dict, stride=1, padding=1) -> jax.Array:
@@ -146,18 +216,29 @@ def qconv2d(x: jax.Array, p: dict, stride=1, padding=1) -> jax.Array:
     sampler program (see the _CONV1X1 comment above), so conv is the
     default."""
     w = p["w"]
+    a = w.get("a")
     kh, kw = w["q"].shape[:2]
     pad_zero = padding == 0 or padding == ((0, 0), (0, 0))
     if kh == 1 and kw == 1 and pad_zero and _CONV1X1 == "dot":
         if stride != 1:
             x = x[:, ::stride, ::stride, :]
-        xq, sx = _quantize_act(x.astype(jnp.float32), axes=-1)
+        xf = x.astype(jnp.float32)
+        _observe(w["q"], xf)
+        if a is not None:
+            xq, sx = _quantize_act_static(xf, a), a
+        else:
+            xq, sx = _quantize_act(xf, axes=-1)
         acc = jnp.einsum(
             "bhwi,io->bhwo", xq, w["q"][0, 0], preferred_element_type=jnp.int32
         )
         y = acc.astype(jnp.float32) * sx * w["s"]
         return y.astype(x.dtype) + p["b"].astype(x.dtype)
-    xq, sx = _quantize_act(x.astype(jnp.float32), axes=(1, 2, 3))
+    xf = x.astype(jnp.float32)
+    _observe(w["q"], xf)
+    if a is not None:
+        xq, sx = _quantize_act_static(xf, a), a
+    else:
+        xq, sx = _quantize_act(xf, axes=(1, 2, 3))
     dn = jax.lax.conv_dimension_numbers(x.shape, w["q"].shape, ("NHWC", "HWIO", "NHWC"))
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     acc = jax.lax.conv_general_dilated(
@@ -195,10 +276,14 @@ def _skipped(path, skip) -> bool:
     return False
 
 
-def quantize_tree(tree, skip=(), _path=()):
+def quantize_tree(tree, skip=(), act_scale=None, _path=()):
     """Replace every eligible `"w"` leaf (2-D dense in torch (out, in)
     orientation, 4-D HWIO conv) with its int8 form, except under a path
-    named in `skip` (see `_skipped`). Biases/norms/BN stats pass through."""
+    named in `skip` (see `_skipped`). Biases/norms/BN stats pass through.
+
+    `act_scale`: optional STATIC per-tensor activation scale stamped onto
+    every quantized leaf (probe/default-init value — calibrate per-site
+    with `observe_act_scales` + `freeze_act_scales` for real scales)."""
     if isinstance(tree, dict):
         out = {}
         for k, v in tree.items():
@@ -208,20 +293,91 @@ def quantize_tree(tree, skip=(), _path=()):
                 and v.ndim in (2, 4)
                 and not _skipped(_path, skip)
             ):
-                out[k] = quantize_weight(v, channel_axis=(-1 if v.ndim == 4 else 0))
+                out[k] = quantize_weight(
+                    v, channel_axis=(-1 if v.ndim == 4 else 0), act_scale=act_scale
+                )
             else:
-                out[k] = quantize_tree(v, skip, _path + (k,))
+                out[k] = quantize_tree(v, skip, act_scale, _path + (k,))
         return out
     if isinstance(tree, (list, tuple)):
-        return type(tree)(quantize_tree(v, skip, _path) for v in tree)
+        return type(tree)(quantize_tree(v, skip, act_scale, _path) for v in tree)
     return tree
 
 
-def quantize_unet(params: dict) -> dict:
+def quantize_unet(params: dict, act_scale=None) -> dict:
     """w8a8 UNet: all resnet/attention/GEGLU/up-down-sample weights int8."""
-    return quantize_tree(params, skip=UNET_SKIP)
+    return quantize_tree(params, skip=UNET_SKIP, act_scale=act_scale)
 
 
-def quantize_iresnet(params: dict) -> dict:
+def quantize_iresnet(params: dict, act_scale=None) -> dict:
     """w8a8 IResNet body for the embed path (stem/SE/fc stay bf16/fp32)."""
-    return quantize_tree(params, skip=IRESNET_SKIP)
+    return quantize_tree(params, skip=IRESNET_SKIP, act_scale=act_scale)
+
+
+# ---------------------------------------------------------------------------
+# static-activation-scale calibration
+# ---------------------------------------------------------------------------
+#
+# Standard post-training static quantization (TensorRT/ONNX-RT recipe): run
+# N calibration batches through the DYNAMIC-quant model EAGERLY, record each
+# site's activation absmax, freeze amax/127 into the site's leaf. The ops
+# key observations by id(q-array) — execution-order- and structure-free (a
+# DeepCache partial forward or cfg-interval segment observes whatever sites
+# it actually runs). Observation requires eager execution: under jit the
+# `float(tracer)` in `_observe` raises a loud ConcretizationTypeError.
+# Dense sites only observe on the int8 impl (the default) — calibrate with
+# QUANT_DENSE_IMPL=int8.
+
+
+@contextlib.contextmanager
+def observe_act_scales():
+    """Context manager: record per-site activation absmax during eager
+    forward passes of a dynamically-quantized tree.
+
+        qtree = quantize_unet(params)
+        with observe_act_scales() as calib:
+            for batch in calibration_batches:
+                apply_unjitted(qtree, batch)          # EAGER
+        qtree_static = freeze_act_scales(qtree, calib)
+    """
+    global _CALIB
+    if _CALIB is not None:
+        raise RuntimeError("observe_act_scales is not reentrant")
+    _CALIB = {}
+    try:
+        yield _CALIB
+    finally:
+        _CALIB = None
+
+
+def freeze_act_scales(tree, calib: dict, margin: float = 1.0):
+    """Return a copy of a quantized tree with `"a"` static act scales set
+    from `observe_act_scales` records (amax·margin/127). Sites the
+    calibration run never touched keep dynamic quantization (no "a") — and
+    are reported so a too-small calibration run is visible."""
+    missed = []
+
+    def walk(t, path=()):
+        if isinstance(t, dict):
+            if is_quantized(t):
+                amax = calib.get(id(t["q"]))
+                if amax is None or amax <= 0.0:
+                    missed.append("/".join(path))
+                    return dict(t)
+                out = dict(t)
+                out["a"] = jnp.asarray(max(amax * margin, _EPS) / 127.0, jnp.float32)
+                return out
+            return {k: walk(v, path + (k,)) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(walk(v, path + (str(i),)) for i, v in enumerate(t))
+        return t
+
+    frozen = walk(tree)
+    if missed:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "freeze_act_scales: %d quantized sites were never observed and "
+            "stay dynamic: %s", len(missed), missed[:8],
+        )
+    return frozen

@@ -412,3 +412,142 @@ def test_qdense_mixed_impl(monkeypatch):
     monkeypatch.setattr(quant, "_MIXED_K", 64)
     np.testing.assert_array_equal(np.asarray(quant.qdense(x32, w32)), np.asarray(want_deq))
     np.testing.assert_array_equal(np.asarray(quant.qdense(x64, w64)), np.asarray(want_int8))
+
+
+# ---------------------------------------------------------------------------
+# static (calibrated) activation scales
+# ---------------------------------------------------------------------------
+
+
+def test_static_act_scale_matches_numpy_oracle():
+    """A leaf carrying "a" quantizes activations against that per-tensor
+    scale with NO amax reduce — verify exact integer arithmetic."""
+    k1, k2 = jax.random.split(jax.random.key(10))
+    x = jax.random.normal(k1, (16, 24), jnp.float32)
+    w = jax.random.normal(k2, (12, 24), jnp.float32)
+    a = 0.031
+    qw = quant.quantize_weight(w, channel_axis=0, act_scale=a)
+    assert float(qw["a"]) == pytest.approx(a)
+    got = quant.qdense(x, qw)
+    xf = np.asarray(x, np.float64)
+    xq = np.clip(np.rint(xf / a), -127, 127).astype(np.int32)
+    wf = np.asarray(w, np.float64)
+    sw = np.maximum(np.abs(wf).max(axis=1), 1e-8) / 127.0
+    wq = np.clip(np.rint(wf / sw[:, None]), -127, 127).astype(np.int32)
+    want = (xq @ wq.T) * a * sw
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_static_conv_matches_dynamic_when_scale_agrees():
+    """When the static scale equals the batch's dynamic per-sample scale,
+    the conv path produces identical integers."""
+    k1, k2 = jax.random.split(jax.random.key(11))
+    x = jax.random.normal(k1, (1, 8, 8, 8), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 8, 12), jnp.float32) * 0.1
+    amax = float(jnp.max(jnp.abs(x)))
+    p_dyn = {"w": quant.quantize_weight(w, channel_axis=-1), "b": jnp.zeros((12,))}
+    p_sta = {
+        "w": quant.quantize_weight(w, channel_axis=-1, act_scale=amax / 127.0),
+        "b": jnp.zeros((12,)),
+    }
+    np.testing.assert_allclose(
+        np.asarray(quant.qconv2d(x, p_sta)),
+        np.asarray(quant.qconv2d(x, p_dyn)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_observe_freeze_roundtrip():
+    """Eager calibration records per-site absmax keyed by weight identity;
+    freeze stamps amax/127 as "a"; untouched sites stay dynamic."""
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(12), 4)
+    x = jax.random.normal(k1, (6, 32), jnp.float32) * 3.0
+    tree = {
+        "seen": {"w": quant.quantize_weight(
+            jax.random.normal(k2, (16, 32), jnp.float32) * 0.2, 0)},
+        "unseen": {"w": quant.quantize_weight(
+            jax.random.normal(k3, (16, 32), jnp.float32) * 0.2, 0)},
+        "conv": {"w": quant.quantize_weight(
+            jax.random.normal(k4, (3, 3, 8, 8), jnp.float32) * 0.2, -1),
+            "b": jnp.zeros((8,))},
+    }
+    xc = jax.random.normal(k1, (2, 6, 6, 8), jnp.float32)
+    with quant.observe_act_scales() as calib:
+        quant.qdense(x, tree["seen"]["w"])
+        quant.qdense(0.5 * x, tree["seen"]["w"])  # running max over batches
+        quant.qconv2d(xc, tree["conv"])
+    assert calib[id(tree["seen"]["w"]["q"])] == pytest.approx(float(jnp.max(jnp.abs(x))), rel=1e-6)
+    frozen = quant.freeze_act_scales(tree, calib)
+    assert float(frozen["seen"]["w"]["a"]) == pytest.approx(
+        float(jnp.max(jnp.abs(x))) / 127.0, rel=1e-6
+    )
+    assert "a" not in frozen["unseen"]["w"]          # stays dynamic
+    assert "a" in frozen["conv"]["w"]
+    assert "a" not in tree["seen"]["w"]              # original untouched
+    # frozen static output close to dynamic (same data as calibration)
+    dyn = quant.qdense(x, tree["seen"]["w"])
+    sta = quant.qdense(x, frozen["seen"]["w"])
+    rel = float(jnp.linalg.norm(sta - dyn) / jnp.linalg.norm(dyn))
+    assert rel < 0.02, rel
+
+
+def test_observe_rejects_jit():
+    """Observation requires eager execution — under jit the host fetch in
+    _observe must raise, not silently record garbage."""
+    x = jnp.ones((4, 16), jnp.float32)
+    qw = quant.quantize_weight(jnp.ones((8, 16), jnp.float32), 0)
+    with quant.observe_act_scales():
+        with pytest.raises(Exception):
+            jax.jit(lambda t: quant.qdense(t, qw))(x)
+
+
+def test_fused_qkv_observation_and_static():
+    """The fused path observes each MEMBER leaf (the concatenated q is a
+    temporary) and runs static with the members' max scale."""
+    k = jax.random.key(13)
+    x = jax.random.normal(k, (5, 24), jnp.float32)
+    ws = [
+        quant.quantize_weight(
+            jax.random.normal(jax.random.fold_in(k, i), (8, 24), jnp.float32) * 0.2, 0
+        )
+        for i in range(3)
+    ]
+    with quant.observe_act_scales() as calib:
+        quant.qdense_fused(x, ws)
+    for w in ws:
+        assert id(w["q"]) in calib
+    frozen = [quant.freeze_act_scales(w, calib) for w in ws]
+    out = quant.qdense_fused(x, frozen)
+    exact = jnp.concatenate(
+        [x @ (w["q"].astype(jnp.float32) * w["s"][:, None]).T for w in ws], axis=-1
+    )
+    rel = float(jnp.linalg.norm(out - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.03, rel
+
+
+def test_quantize_tree_stamps_act_scale():
+    """quantize_unet(act_scale=c) stamps "a" on every quantized leaf and the
+    tiny sampler still runs end-to-end on the static-quant program."""
+    params = unet2d.init(jax.random.key(3), CFG, dtype=jnp.float32)
+    qp = quant.quantize_unet(params, act_scale=0.05)
+
+    leaves = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if quant.is_quantized(t):
+                leaves.append(t)
+            else:
+                for v in t.values():
+                    walk(v)
+        elif isinstance(t, (list, tuple)):
+            for v in t:
+                walk(v)
+
+    walk(qp)
+    assert leaves and all("a" in l for l in leaves)
+    x = jax.random.normal(jax.random.key(4), (1, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(5), (1, 7, CFG.cross_attention_dim), jnp.float32)
+    t = jnp.array([5], jnp.int32)
+    out = unet2d.apply(qp, x, t, ctx, CFG, policy=PARITY_POLICY)
+    assert bool(jnp.all(jnp.isfinite(out)))
