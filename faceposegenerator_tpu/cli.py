@@ -164,6 +164,12 @@ def cmd_generate(argv):
              "matmuls/convs run int8 on the MXU (2x bf16 rate on v5e); "
              "LoRA adapters still apply in bf16",
     )
+    ap.add_argument(
+        "--quant_calibrate", type=int, default=0, metavar="STEPS",
+        help="with --quantize: freeze STATIC per-tensor activation scales "
+             "from an eager STEPS-step calibration denoise "
+             "(pipe.calibrate_quant) — removes the dynamic amax passes",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -173,6 +179,10 @@ def cmd_generate(argv):
     pipe.set_scheduler("ddpm")
     if args.quantize:
         pipe.quantize(args.quantize)
+        if args.quant_calibrate:
+            pipe.calibrate_quant(
+                ["face portrait photo of sks person"], steps=args.quant_calibrate
+            )
     if args.data_parallel:
         import jax
 
@@ -775,6 +785,11 @@ def cmd_serve(argv):
         help="OPT-IN int8 UNet weights+activations (ops/quant.py); "
              "registered LoRA adapters still apply in bf16",
     )
+    ap.add_argument(
+        "--quant_calibrate", type=int, default=0, metavar="STEPS",
+        help="with --quantize: freeze STATIC per-tensor activation scales "
+             "from an eager STEPS-step calibration denoise before serving",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -793,6 +808,10 @@ def cmd_serve(argv):
     pipe.set_scheduler(args.scheduler)
     if args.quantize:
         pipe.quantize(args.quantize)
+        if args.quant_calibrate:
+            pipe.calibrate_quant(
+                ["face portrait photo of sks person"], steps=args.quant_calibrate
+            )
     if args.rolling:
         from .serving import RollingServer
 

@@ -153,6 +153,87 @@ class StableDiffusionPipeline:
 
             self.params = replicate(self.mesh, self.params)
 
+    def calibrate_quant(
+        self,
+        prompt: Union[str, List[str], None] = None,
+        *,
+        negative_prompt: Union[str, List[str], None] = None,
+        input_ids: Optional[jax.Array] = None,
+        negative_input_ids: Optional[jax.Array] = None,
+        steps: int = 4,
+        seed: int = 0,
+        height: int = 512,
+        width: int = 512,
+        guidance_scale: float = 5.0,
+        margin: float = 1.1,
+    ):
+        """Calibrate STATIC per-tensor activation scales for the quantized
+        UNet (post-training static quantization — the TensorRT/ONNX-RT
+        recipe, layered on `quantize()`'s dynamic default).
+
+        Runs a short `steps`-step CFG denoise EAGERLY (op by op, so each
+        quant site records its activation absmax on the host —
+        `ops/quant.observe_act_scales`), then freezes `amax·margin/127`
+        into each site's leaf. Every program compiled afterwards quantizes
+        that site's activations ELEMENTWISE against the frozen constant:
+        no per-token/per-sample amax reduce, no extra HBM pass over x (the
+        measured cost that makes dynamic int8 wash at small contraction
+        widths, perf/r3aj). Out-of-range activations at serve time clip to
+        ±127 codes (saturation); `margin` buys headroom. Numerically
+        coarser than dynamic scales — validate on real weights with
+        `cli accel-report` before shipping.
+
+        Call AFTER `quantize()` and BEFORE `to_mesh()` (the eager pass is
+        single-device); LoRA deltas ride bf16 and need no calibration.
+        """
+        from ..ops import quant as quant_ops
+
+        if self.mesh is not None:
+            raise ValueError("calibrate_quant before to_mesh (eager pass is single-device)")
+        if input_ids is None:
+            input_ids = self.tokenize(prompt)
+        if negative_input_ids is None:
+            if negative_prompt is None and self.tokenizer is None:
+                negative_input_ids = jnp.zeros_like(input_ids)
+            else:
+                if negative_prompt is None:
+                    negative_prompt = [""] * input_ids.shape[0]
+                negative_input_ids = self.tokenize(negative_prompt)
+        if negative_input_ids.shape[0] == 1 and input_ids.shape[0] > 1:
+            negative_input_ids = jnp.tile(negative_input_ids, (input_ids.shape[0], 1))
+
+        B = input_ids.shape[0]
+        h, w = height // 8, width // 8
+        sched = make_ddpm(self.scheduler_config, steps)
+        ids = jnp.concatenate([negative_input_ids, input_ids], axis=0)
+        ctx = clip_text.apply(
+            self.params["text_encoder"], ids, self.models.text_cfg, policy=self.policy
+        )
+        key = sampler_key(seed)
+        key, sub = jax.random.split(key)
+        x = jax.random.normal(sub, (B, h, w, 4), jnp.float32)
+        with quant_ops.observe_act_scales() as calib:
+            for i in range(steps):
+                t = sched.timesteps[i]
+                lat = jnp.concatenate([x, x], axis=0)
+                eps = unet2d.apply(
+                    self.params["unet"], lat, jnp.broadcast_to(t, (2 * B,)), ctx,
+                    self.models.unet_cfg, policy=self.policy,
+                    attn_impl=self.models.attn_impl,
+                )
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                guided = eps_u + guidance_scale * (eps_c - eps_u)
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, x.shape, jnp.float32)
+                x, _ = sched.step(guided, jnp.asarray(i), x, noise)
+        if not calib:
+            raise ValueError("no quantized sites observed — call quantize() first")
+        self.params = dict(
+            self.params,
+            unet=quant_ops.freeze_act_scales(self.params["unet"], calib, margin=margin),
+        )
+        return calib
+
     def tokenize(self, prompts: Union[str, List[str]]) -> jnp.ndarray:
         if self.tokenizer is None:
             raise ValueError("no tokenizer loaded; pass input_ids directly")

@@ -551,3 +551,42 @@ def test_quantize_tree_stamps_act_scale():
     t = jnp.array([5], jnp.int32)
     out = unet2d.apply(qp, x, t, ctx, CFG, policy=PARITY_POLICY)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pipeline_calibrate_quant():
+    """quantize → calibrate_quant (eager observe) freezes "a" on every site
+    reached by the calibration denoise; the compiled static program still
+    samples and stays close to the dynamic-quant output."""
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    ids = jnp.zeros((1, 77), jnp.int32)
+    with pytest.raises(ValueError):
+        pipe.calibrate_quant(input_ids=ids, steps=1, height=64, width=64)
+    pipe.quantize("w8a8")
+    dyn = pipe(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
+    calib = pipe.calibrate_quant(input_ids=ids, steps=2, height=64, width=64)
+    assert calib and all(v > 0 for v in calib.values())
+
+    leaves = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if quant.is_quantized(t):
+                leaves.append(t)
+            else:
+                for v in t.values():
+                    walk(v)
+        elif isinstance(t, (list, tuple)):
+            for v in t:
+                walk(v)
+
+    walk(pipe.params["unet"])
+    assert leaves and all("a" in l for l in leaves)
+    sta = pipe(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
+    assert np.isfinite(np.asarray(sta, np.float32)).all()
+    # images live in [0,1]; static-vs-dynamic act quantization is a small
+    # perturbation when scales come from the same inputs
+    assert float(jnp.max(jnp.abs(sta - dyn))) < 0.35
