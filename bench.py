@@ -158,8 +158,12 @@ def bench_sweep(repeats: int):
         models=models, dtype=jnp.bfloat16, tokenizer=tok, policy=policy
     )
     qmode = os.environ.get("BENCH_QUANT", "")
+    qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
-        pipe.quantize(qmode)  # OPT-IN int8 UNet (ops/quant.py); QUANT tag below
+        # OPT-IN int8 UNet (ops/quant.py); QUANT tag below. BENCH_QUANT_ACT
+        # stamps constant static act scales (perf probe for the calibrated
+        # path — same program as calibrate_quant, different constants).
+        pipe.quantize(qmode, act_scale=float(qact) if qact else None)
 
     # eval harness models (random weights; throughput is weight-agnostic)
     fr_cfg = iresnet.config_for("r100")
@@ -260,7 +264,7 @@ def bench_sweep(repeats: int):
     ids_tag = f" x {n_ids} identities" if n_ids != 1 else ""
     models_tag = f" x {n_models} variants" if n_models != 1 else ""
     pack_tag = ", packed" if pack else ""
-    quant_tag = f", QUANT={qmode}" if qmode else ""
+    quant_tag = (f", QUANT={qmode}" + (f" ACT=static{qact}" if qact else "")) if qmode else ""
     if sweep_dc > 1:
         quant_tag += f", DEEPCACHE={sweep_dc}"
     if sweep_civ is not None:
@@ -521,8 +525,11 @@ def bench_serve(batch: int, steps: int, repeats: int):
         dtype=jnp.bfloat16, tokenizer=tok, policy=policy,
     )
     qmode = os.environ.get("BENCH_QUANT", "")
+    qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
-        pipe.quantize(qmode)  # OPT-IN int8 UNet; LoRA hot-swap rides bf16 on top
+        # OPT-IN int8 UNet; LoRA hot-swap rides bf16 on top. BENCH_QUANT_ACT:
+        # constant static act scales (see bench_sweep).
+        pipe.quantize(qmode, act_scale=float(qact) if qact else None)
     # BENCH_SERVE_LORAS=K: round-robin K distinct adapters through the burst
     # (default 2 = the classic metric's None/id0 alternation). With K >
     # batch-window diversity the classic server fragments into padded
@@ -595,7 +602,7 @@ def bench_serve(batch: int, steps: int, repeats: int):
         + (", multi_lora" if multi else "")
         + (", ROLLING" if rolling else "")
         + (f", stagger {int(stagger_s * 1e3)}ms" if stagger_s else "")
-        + (f", QUANT={qmode}" if qmode else "") + ")",
+        + (f", QUANT={qmode}" + (f" ACT=static{qact}" if qact else "") if qmode else "") + ")",
         "value": round(n / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n / best / 30.0, 3),
@@ -636,10 +643,16 @@ def bench_latency(steps: int, repeats: int):
         "vae": vae.init(jax.random.key(2), models.vae_cfg, dtype=jnp.bfloat16),
     }
     qmode = os.environ.get("BENCH_QUANT", "")
+    qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
         from faceposegenerator_tpu.ops.quant import quantize_unet
 
-        params = dict(params, unet=quantize_unet(params["unet"]))
+        params = dict(
+            params,
+            unet=quantize_unet(
+                params["unet"], act_scale=float(qact) if qact else None
+            ),
+        )
     lora = {
         "unet": unet2d.init_lora(jax.random.key(3), params["unet"], rank=4, dtype=jnp.bfloat16),
         "text_encoder": None,
@@ -687,7 +700,7 @@ def bench_latency(steps: int, repeats: int):
     p50 = times[len(times) // 2]
     tag = f" PARA={window}/tol{tol}" if window > 0 else " sequential"
     if qmode:
-        tag += f" QUANT={qmode}"
+        tag += f" QUANT={qmode}" + (f" ACT=static{qact}" if qact else "")
     if window == 0 and dc > 1:
         tag += f" DEEPCACHE={dc}/d{dc_depth}"
     if window == 0 and cfg_interval is not None:

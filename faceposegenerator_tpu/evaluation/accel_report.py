@@ -22,7 +22,8 @@ Mode specs are composable strings (the CLI surface):
     deepcache=3          DeepCache interval 3 (depth 1); "3:2" sets depth
     tome=0.5             ToMe ratio 0.5; "0.5:attn+xattn+mlp" sets ops
     cfg_interval=5:20    guidance only at step indices [5, 20)
-    quantize=w8a8        int8 UNet (ops/quant.py)
+    quantize=w8a8        int8 UNet (ops/quant.py); w8a8:static[:N] adds
+                         calibrated static act scales (N-step calibration)
     parallel=8:0.1       Picard window 8, tolerance 0.1
     deepcache=3+cfg_interval=5:20+quantize=w8a8     composition
 """
@@ -73,10 +74,15 @@ def parse_mode(spec: str):
     return kwargs, quantize
 
 
-def _sibling_pipe(pipe, quantize: Optional[str]):
+def _sibling_pipe(pipe, quantize: Optional[str], calib_kw: Optional[dict] = None):
     """A pipeline sharing `pipe`'s params/LoRA; optionally quantized.
     `quantize()` rebinds the sibling's params dict, so the original
-    pipeline's exact tree is untouched."""
+    pipeline's exact tree is untouched.
+
+    `quantize` may carry a `:static[:N]` suffix (e.g. "w8a8:static" /
+    "w8a8:static:8"): after quantizing, run `calibrate_quant` for N steps
+    (default 4) on the report's own prompts (`calib_kw`) so the report
+    measures the STATIC-act-scale program's quality."""
     from ..pipelines.txt2img import StableDiffusionPipeline
 
     p = StableDiffusionPipeline(
@@ -86,7 +92,13 @@ def _sibling_pipe(pipe, quantize: Optional[str]):
     p.scheduler_kind = pipe.scheduler_kind
     p.lora, p.lora_scale = pipe.lora, pipe.lora_scale
     if quantize:
-        p.quantize(quantize)
+        base, _, static = quantize.partition(":")
+        p.quantize(base)
+        if static:
+            tag, _, n = static.partition(":")
+            if tag != "static":
+                raise ValueError(f"unknown quantize suffix {static!r}")
+            p.calibrate_quant(steps=int(n) if n else 4, **(calib_kw or {}))
     return p
 
 
@@ -165,9 +177,14 @@ def compare_modes(
         "exact": {"batch_s": round(exact_s, 3)},
         "modes": {},
     }
+    calib_kw = dict(height=height, width=width, guidance_scale=guidance_scale)
+    if input_ids is not None:
+        calib_kw["input_ids"] = jnp.asarray(input_ids)
+    else:
+        calib_kw["prompt"] = list(prompts)
     for spec in modes:
         call_kwargs, quantize = parse_mode(spec)
-        p = _sibling_pipe(pipe, quantize)
+        p = _sibling_pipe(pipe, quantize, calib_kw)
         t0 = time.perf_counter()
         got = np.asarray(p(**gen_kw, **call_kwargs))
         mode_s = time.perf_counter() - t0

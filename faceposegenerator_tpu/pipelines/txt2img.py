@@ -136,18 +136,24 @@ class StableDiffusionPipeline:
     def unload_lora_weights(self):
         self.lora = None
 
-    def quantize(self, mode: str = "w8a8"):
+    def quantize(self, mode: str = "w8a8", act_scale=None):
         """OPT-IN int8 UNet weights (`ops/quant.py`): the UNet's matmuls and
         convs run int8×int8→int32 on the MXU (2× the bf16 rate on v5e) with
         dynamic activation scales; CLIP/VAE and the exact program stay
         untouched. LoRA checkpoints loaded before or after still apply —
         deltas stay factored bf16 over the int8 base. Irreversible on this
-        pipeline instance (reload for the exact path)."""
+        pipeline instance (reload for the exact path).
+
+        `act_scale`: optional constant STATIC activation scale stamped on
+        every site (perf probing); for real static scales calibrate with
+        `calibrate_quant()` instead."""
         if mode != "w8a8":
             raise ValueError(f"unknown quantize mode {mode!r} (only 'w8a8')")
         from ..ops.quant import quantize_unet
 
-        self.params = dict(self.params, unet=quantize_unet(self.params["unet"]))
+        self.params = dict(
+            self.params, unet=quantize_unet(self.params["unet"], act_scale=act_scale)
+        )
         if self.mesh is not None:
             from ..core.mesh import replicate
 

@@ -130,3 +130,23 @@ def test_accel_report_cli(tmp_path):
     rep = json.load(open(out))
     assert "deepcache=2" in rep["modes"]
     assert rep["modes"]["deepcache=2"]["identical_frac"] <= 1.0
+
+
+def test_compare_modes_static_quant():
+    """quantize=w8a8:static:N calibrates static act scales on the report's
+    prompts; the report row is a real (non-anchor) approximation and the
+    exact pipeline stays untouched."""
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    ids = jax.random.randint(jax.random.key(1), (1, 77), 0, 512)
+    report = compare_modes(
+        pipe, ["quantize=w8a8:static:1"],
+        input_ids=ids, seed=3, num_inference_steps=2, height=64, width=64,
+    )
+    m = report["modes"]["quantize=w8a8:static:1"]
+    assert m["psnr_min"] is not None and np.isfinite(m["psnr_min"])
+    assert not quant.is_quantized(
+        pipe.params["unet"]["down_blocks"][0]["resnets"][0]["conv1"]["w"]
+    )
+    json.dumps(report)
