@@ -645,14 +645,12 @@ def bench_latency(steps: int, repeats: int):
     qmode = os.environ.get("BENCH_QUANT", "")
     qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
-        from faceposegenerator_tpu.ops.quant import quantize_unet
+        from faceposegenerator_tpu.ops.quant import quantize_unet, quantize_vae
 
-        params = dict(
-            params,
-            unet=quantize_unet(
-                params["unet"], act_scale=float(qact) if qact else None
-            ),
-        )
+        aq = float(qact) if qact else None
+        params = dict(params, unet=quantize_unet(params["unet"], act_scale=aq))
+        if qmode.endswith("+vae"):
+            params = dict(params, vae=quantize_vae(params["vae"], act_scale=aq))
     lora = {
         "unet": unet2d.init_lora(jax.random.key(3), params["unet"], rank=4, dtype=jnp.bfloat16),
         "text_encoder": None,
@@ -803,14 +801,12 @@ def main():
     # program, different constants). Tagged ACT=static in the metric.
     qact = os.environ.get("BENCH_QUANT_ACT", "")
     if qmode:
-        from faceposegenerator_tpu.ops.quant import quantize_unet
+        from faceposegenerator_tpu.ops.quant import quantize_unet, quantize_vae
 
-        params = dict(
-            params,
-            unet=quantize_unet(
-                params["unet"], act_scale=float(qact) if qact else None
-            ),
-        )
+        aq = float(qact) if qact else None
+        params = dict(params, unet=quantize_unet(params["unet"], act_scale=aq))
+        if qmode.endswith("+vae"):
+            params = dict(params, vae=quantize_vae(params["vae"], act_scale=aq))
 
     def run(key):
         return sample(

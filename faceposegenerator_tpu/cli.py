@@ -159,7 +159,7 @@ def cmd_generate(argv):
              "at step indices [I0, I1); cond-only half-batch UNet outside",
     )
     ap.add_argument(
-        "--quantize", default=None, choices=["w8a8"],
+        "--quantize", default=None, choices=["w8a8", "w8a8+vae"],
         help="OPT-IN int8 UNet weights+activations (ops/quant.py): "
              "matmuls/convs run int8 on the MXU (2x bf16 rate on v5e); "
              "LoRA adapters still apply in bf16",
@@ -781,7 +781,7 @@ def cmd_serve(argv):
              "at step indices [I0, I1); cond-only half-batch UNet outside",
     )
     ap.add_argument(
-        "--quantize", default=None, choices=["w8a8"],
+        "--quantize", default=None, choices=["w8a8", "w8a8+vae"],
         help="OPT-IN int8 UNet weights+activations (ops/quant.py); "
              "registered LoRA adapters still apply in bf16",
     )

@@ -23,7 +23,9 @@ Mode specs are composable strings (the CLI surface):
     tome=0.5             ToMe ratio 0.5; "0.5:attn+xattn+mlp" sets ops
     cfg_interval=5:20    guidance only at step indices [5, 20)
     quantize=w8a8        int8 UNet (ops/quant.py); w8a8:static[:N] adds
-                         calibrated static act scales (N-step calibration)
+                         calibrated static act scales (N-step calibration);
+                         w8a8,vae (pipeline mode "w8a8+vae") also quantizes
+                         the VAE decoder body
     parallel=8:0.1       Picard window 8, tolerance 0.1
     deepcache=3+cfg_interval=5:20+quantize=w8a8     composition
 """
@@ -63,7 +65,9 @@ def parse_mode(spec: str):
             lo, _, hi = val.partition(":")
             kwargs["cfg_interval"] = (int(lo), int(hi))
         elif key == "quantize":
-            quantize = val
+            # '+' is the composition separator, so the "w8a8+vae" pipeline
+            # mode is spelled with a comma here: quantize=w8a8,vae
+            quantize = val.replace(",", "+")
         elif key == "parallel":
             w, _, tol = val.partition(":")
             kwargs["parallel_window"] = int(w)

@@ -262,6 +262,13 @@ UNET_SKIP = ("conv_in", "conv_out", "time_embedding", "time_emb_proj")
 # EXACT-path entry: it skips only the top-level stem, not the residual
 # blocks' conv1 (same key name).
 IRESNET_SKIP = (("conv1",), "fc", "se_fc1", "se_fc2")
+# VAE: only the DECODER resblock/upsample convs go int8 — the sampler never
+# encodes (training keeps the exact encode for gradients), the 4-channel
+# quant/post_quant 1×1s and first/last convs are tiny and range-critical,
+# and the mid-block attention (single-head, ~0.3% of decode FLOPs) is not
+# worth its quant error. conv_in/conv_out match the decoder's own first/
+# last convs (the encoder is skipped wholesale anyway).
+VAE_SKIP = ("encoder", "quant_conv", "post_quant_conv", "attn", "conv_in", "conv_out")
 
 
 def _skipped(path, skip) -> bool:
@@ -312,6 +319,14 @@ def quantize_unet(params: dict, act_scale=None) -> dict:
 def quantize_iresnet(params: dict, act_scale=None) -> dict:
     """w8a8 IResNet body for the embed path (stem/SE/fc stay bf16/fp32)."""
     return quantize_tree(params, skip=IRESNET_SKIP, act_scale=act_scale)
+
+
+def quantize_vae(params: dict, act_scale=None) -> dict:
+    """w8a8 VAE DECODER body (see VAE_SKIP). The decoder is ~5 TFLOP/img at
+    512² — a small share of the exact sampler but a growing one under the
+    turbo modes (DeepCache/cfg-interval/w8a8 shrink only UNet work), which
+    is when quantizing it starts to pay."""
+    return quantize_tree(params, skip=VAE_SKIP, act_scale=act_scale)
 
 
 # ---------------------------------------------------------------------------

@@ -144,16 +144,27 @@ class StableDiffusionPipeline:
         deltas stay factored bf16 over the int8 base. Irreversible on this
         pipeline instance (reload for the exact path).
 
+        `mode="w8a8+vae"` additionally quantizes the VAE DECODER body
+        (`ops/quant.quantize_vae`) — a small share of the exact sampler but
+        a growing one under the turbo modes, which shrink only UNet work.
+
         `act_scale`: optional constant STATIC activation scale stamped on
         every site (perf probing); for real static scales calibrate with
         `calibrate_quant()` instead."""
-        if mode != "w8a8":
-            raise ValueError(f"unknown quantize mode {mode!r} (only 'w8a8')")
-        from ..ops.quant import quantize_unet
+        if mode not in ("w8a8", "w8a8+vae"):
+            raise ValueError(
+                f"unknown quantize mode {mode!r} (only 'w8a8'/'w8a8+vae')"
+            )
+        from ..ops.quant import quantize_unet, quantize_vae
 
         self.params = dict(
             self.params, unet=quantize_unet(self.params["unet"], act_scale=act_scale)
         )
+        if mode.endswith("+vae"):
+            self.params = dict(
+                self.params,
+                vae=quantize_vae(self.params["vae"], act_scale=act_scale),
+            )
         if self.mesh is not None:
             from ..core.mesh import replicate
 
@@ -232,11 +243,15 @@ class StableDiffusionPipeline:
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, x.shape, jnp.float32)
                 x, _ = sched.step(guided, jnp.asarray(i), x, noise)
+            # one eager decode so a quantized VAE decoder ("w8a8+vae")
+            # observes its sites too (no-op sites otherwise)
+            vae.decode(self.params["vae"], x, self.models.vae_cfg, policy=self.policy)
         if not calib:
             raise ValueError("no quantized sites observed — call quantize() first")
         self.params = dict(
             self.params,
             unet=quant_ops.freeze_act_scales(self.params["unet"], calib, margin=margin),
+            vae=quant_ops.freeze_act_scales(self.params["vae"], calib, margin=margin),
         )
         return calib
 

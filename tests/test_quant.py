@@ -590,3 +590,48 @@ def test_pipeline_calibrate_quant():
     # images live in [0,1]; static-vs-dynamic act quantization is a small
     # perturbation when scales come from the same inputs
     assert float(jnp.max(jnp.abs(sta - dyn))) < 0.35
+
+
+def test_quantize_vae_skips_and_decode():
+    """quantize_vae: decoder resnet/upsample convs int8; encoder, 4-channel
+    quant convs, decoder first/last convs, and mid attention stay exact.
+    Quantized decode stays close to the exact decode."""
+    cfg = TINY.vae_cfg
+    params = vae.init(jax.random.key(7), cfg)
+    q = quant.quantize_vae(params)
+    assert not quant.is_quantized(q["quant_conv"]["w"])
+    assert not quant.is_quantized(q["post_quant_conv"]["w"])
+    assert not quant.is_quantized(q["decoder"]["conv_in"]["w"])
+    assert not quant.is_quantized(q["decoder"]["conv_out"]["w"])
+    assert not quant.is_quantized(q["decoder"]["mid"]["attn"]["q"]["w"])
+    assert not quant.is_quantized(q["encoder"]["down_blocks"][0]["resnets"][0]["conv1"]["w"])
+    assert quant.is_quantized(q["decoder"]["mid"]["res1"]["conv1"]["w"])
+    assert quant.is_quantized(q["decoder"]["up_blocks"][0]["resnets"][0]["conv2"]["w"])
+    z = jax.random.normal(jax.random.key(8), (1, 8, 8, 4), jnp.float32) * 0.2
+    exact = vae.decode(params, z, cfg, policy=PARITY_POLICY)
+    got = vae.decode(q, z, cfg, policy=PARITY_POLICY)
+    rel = float(jnp.linalg.norm(got - exact) / jnp.linalg.norm(exact))
+    # random 32-channel weights give no trained smoothness — per-conv int8
+    # noise compounds over the ~12-deep decoder; real-weight quality is
+    # measured by accel-report (quantize=w8a8,vae)
+    assert rel < 0.15, rel
+
+
+def test_pipeline_w8a8_vae_mode_and_calibration():
+    """"w8a8+vae" quantizes both trees; calibrate_quant's trailing eager
+    decode freezes static scales onto the VAE decoder sites too."""
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    pipe.quantize("w8a8+vae")
+    assert quant.is_quantized(pipe.params["vae"]["decoder"]["mid"]["res1"]["conv1"]["w"])
+    ids = jnp.zeros((1, 77), jnp.int32)
+    out = pipe(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    pipe.calibrate_quant(input_ids=ids, steps=1, height=64, width=64)
+    leaf = pipe.params["vae"]["decoder"]["mid"]["res1"]["conv1"]["w"]
+    assert "a" in leaf and float(leaf["a"]) > 0
+    out2 = pipe(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
+    assert np.isfinite(np.asarray(out2, np.float32)).all()
