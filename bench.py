@@ -628,7 +628,7 @@ def bench_latency(steps: int, repeats: int):
     executed Picard iteration count (sequential depth) alongside the time.
     """
     from faceposegenerator_tpu.core.precision import Policy
-    from faceposegenerator_tpu.diffusion import make_ddpm
+    from faceposegenerator_tpu.diffusion import make_ddpm, make_dpm_solver
     from faceposegenerator_tpu.diffusion.parallel_sampler import sample_parallel
     from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
     from faceposegenerator_tpu.models import clip_text, unet2d, vae
@@ -655,7 +655,15 @@ def bench_latency(steps: int, repeats: int):
         "unet": unet2d.init_lora(jax.random.key(3), params["unet"], rank=4, dtype=jnp.bfloat16),
         "text_encoder": None,
     }
-    sched = make_ddpm(num_inference_steps=steps)
+    # BENCH_SCHEDULER=dpm: DPM-Solver++ few-step mode (see main's comment);
+    # not composable with the Picard window (DDPM-only there).
+    sched_kind = os.environ.get("BENCH_SCHEDULER", "ddpm")
+    if sched_kind == "dpm":
+        if window > 0:
+            raise SystemExit("BENCH_SCHEDULER=dpm does not compose with BENCH_PARA_WINDOW")
+        sched = make_dpm_solver(num_inference_steps=steps)
+    else:
+        sched = make_ddpm(num_inference_steps=steps)
     ids = jax.random.randint(jax.random.key(4), (1, 77), 0, 49408)
     neg = jnp.zeros_like(ids)
     kw = dict(models=models, guidance_scale=5.0, height=512, width=512,
@@ -668,7 +676,7 @@ def bench_latency(steps: int, repeats: int):
     cfg_interval = tuple(int(v) for v in cfg_iv.split(":")) if cfg_iv else None
     if window == 0:
         kw.update(deepcache_interval=dc, deepcache_depth=dc_depth,
-                  cfg_interval=cfg_interval)
+                  cfg_interval=cfg_interval, scheduler=sched_kind)
     elif dc > 1 or cfg_interval is not None:
         raise SystemExit("BENCH_DEEPCACHE/BENCH_CFG_INTERVAL do not compose "
                          "with BENCH_PARA_WINDOW")
@@ -704,7 +712,8 @@ def bench_latency(steps: int, repeats: int):
     if window == 0 and cfg_interval is not None:
         tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
     return {
-        "metric": f"p50 batch-1 latency 512x512 {steps}-step DDPM+CFG SD2.1+LoRA{tag}",
+        "metric": f"p50 batch-1 latency 512x512 {steps}-step "
+        f"{'DDPM' if sched_kind == 'ddpm' else 'DPM++'}+CFG SD2.1+LoRA{tag}",
         "value": round(p50, 3),
         "unit": "s/img",
         "vs_baseline": round(p50, 3),
@@ -719,7 +728,7 @@ def bench_latency(steps: int, repeats: int):
 
 def main():
     from faceposegenerator_tpu.core.precision import Policy
-    from faceposegenerator_tpu.diffusion import make_ddpm
+    from faceposegenerator_tpu.diffusion import make_ddpm, make_dpm_solver
     from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
     from faceposegenerator_tpu.models import clip_text, unet2d, vae
 
@@ -771,7 +780,17 @@ def main():
         "unet": unet2d.init_lora(jax.random.key(3), params["unet"], rank=4, dtype=jnp.bfloat16),
         "text_encoder": None,
     }
-    sched = make_ddpm(num_inference_steps=steps)
+    # BENCH_SCHEDULER=dpm: DPM-Solver++ multistep (the reference's own
+    # VALIDATION sampler, `train_ID-Booth.py:147`) — the few-step turbo
+    # mode: same program shape, deterministic 2nd-order steps, typically
+    # run at BENCH_STEPS=15-20 instead of DDPM's 30. Reported with a
+    # SCHED tag, never as the default (the reference inference op point
+    # is 30-step DDPM).
+    sched_kind = os.environ.get("BENCH_SCHEDULER", "ddpm")
+    if sched_kind == "dpm":
+        sched = make_dpm_solver(num_inference_steps=steps)
+    else:
+        sched = make_ddpm(num_inference_steps=steps)
     ids = jax.random.randint(jax.random.key(4), (batch, 77), 0, 49408)
     neg = jnp.zeros_like(ids)
 
@@ -815,6 +834,7 @@ def main():
             policy=policy, lora=lora, decode_chunk=decode_chunk,
             unroll=unroll, deepcache_interval=dc, deepcache_depth=dc_depth,
             tome_ratio=tome, tome_ops=tome_ops, cfg_interval=cfg_interval,
+            scheduler=sched_kind,
         )
 
     # warmup/compile — fetch to host: on the axon platform block_until_ready
@@ -839,8 +859,9 @@ def main():
         tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
     if qmode:
         tag += f" QUANT={qmode}" + (f" ACT=static{qact}" if qact else "")
+    sched_name = "DDPM" if sched_kind == "ddpm" else "DPM++"
     result = {
-        "metric": f"images/sec/chip 512x512 {steps}-step DDPM+CFG SD2.1+LoRA bs{batch}{tag}",
+        "metric": f"images/sec/chip 512x512 {steps}-step {sched_name}+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),
         "unit": "img/s",
         "vs_baseline": round(ips / 30.0, 3),
