@@ -273,12 +273,23 @@ def cmd_extract_embeds(argv):
                     help="pipelined path: native JPEG decode → batched detect → "
                          "device crop+embed in ONE program (uniform-size datasets)")
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument(
+        "--quantize", default=None, choices=["w8a8"],
+        help="OPT-IN int8 IResNet body (ops/quant.py; stem/SE/fc stay bf16)",
+    )
+    ap.add_argument(
+        "--quant_calibrate", type=int, default=0, metavar="BATCHES",
+        help="with --quantize: freeze STATIC activation scales from eager "
+             "forwards over BATCHES random-crop calibration batches "
+             "(+36%% over dynamic int8 on v5e, perf/r3ao_queue.jsonl)",
+    )
     args = ap.parse_args(argv)
 
     import jax
 
     from .models import iresnet, mtcnn
     from .pipelines.embed_extract import (
+        calibrate_embed_quant,
         extract_embeddings_streaming,
         extract_folder_embeddings,
         make_arcface_embed_fn,
@@ -291,6 +302,24 @@ def cmd_extract_embeds(argv):
         params, state = convert_iresnet_state_dict(load_torch_pth(args.arcface_weights))
     else:
         params, state = iresnet.init(jax.random.key(0), iresnet.IResNetConfig())
+    if args.quantize:
+        from .ops.quant import quantize_iresnet
+
+        params = quantize_iresnet(params)
+        if args.quant_calibrate:
+            # ArcFace inputs are (x/255 - .5)/.5 ∈ [-1,1]; BN-stabilized
+            # internals make the scales data-insensitive, so uniform-noise
+            # calibration batches are serviceable without touching the
+            # dataset (pass real crops via calibrate_embed_quant for the
+            # by-the-book version)
+            cal = [
+                jax.random.uniform(
+                    jax.random.key(1000 + i), (32, 112, 112, 3),
+                    minval=-1.0, maxval=1.0,
+                )
+                for i in range(args.quant_calibrate)
+            ]
+            params = calibrate_embed_quant(params, state, cal)
     detector = None
     if args.mtcnn_weights:
         from .bridge.torch_weights import load_torch_pth

@@ -117,6 +117,38 @@ def make_crop_embed_fn(params, state, cfg=None, policy=None):
     return crop_embed
 
 
+def calibrate_embed_quant(params, state, images, cfg=None, policy=None, margin: float = 1.1):
+    """Freeze STATIC activation scales onto a quantized IResNet from eager
+    forwards over calibration `images` ((B,112,112,3) in [-1,1]; a list
+    runs multiple batches).
+
+    Textbook post-training static quantization — for a BN-stabilized CNN
+    the activation ranges are data-stable, which is why static scales are
+    the standard int8 deployment path for this model class. Measured on
+    v5e (`perf/r3ao_queue.jsonl`): bs4096 embed 9867 img/s static vs 7268
+    dynamic (+36%) vs 6358 bf16 (+55%) — the dynamic amax passes were the
+    gap between int8's 2× MXU rate and its measured +14%.
+
+    Returns the static params tree (input `params` is not modified)."""
+    import jax.numpy as jnp
+
+    from ..core.precision import DEFAULT_POLICY
+    from ..models import iresnet
+    from ..ops import quant as quant_ops
+
+    cfg = cfg or iresnet.IResNetConfig()
+    policy = policy or DEFAULT_POLICY
+    batches = images if isinstance(images, (list, tuple)) else [images]
+    with quant_ops.observe_act_scales() as calib:
+        for x in batches:
+            iresnet.apply(
+                params, state, jnp.asarray(x), cfg, policy=policy, train=False
+            )
+    if not calib:
+        raise ValueError("no quantized sites observed — quantize_iresnet first")
+    return quant_ops.freeze_act_scales(params, calib, margin=margin)
+
+
 def _decode_files_batch(paths: List[str], native_mod=None, expect_hw=None):
     """Decode JPEG/PNG files to one (B,H,W,3) [0,255] fp32 stack. JPEGs ride
     the native C++ thread-parallel decoder when available (decode_batch

@@ -28,6 +28,7 @@ actual kernel adds on top.
 """
 
 import json
+import os
 import time
 from functools import partial
 
@@ -38,6 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 M, D, N = 1024, 64, 2048  # QK: (M,D)@(D,N); PV: (M,N)@(N,D)
 R_LO, R_HI = 512, 4096
+if os.environ.get("PROBE_SMOKE"):  # CPU interpret-mode correctness check
+    M, D, N, R_LO, R_HI = 64, 128, 256, 2, 4  # D>=128: the (8,128) probe
+    # slice must fit both matmuls' outputs
+_INTERPRET = bool(os.environ.get("PROBE_SMOKE"))
 
 
 def make_probe(shape_a, shape_b, dtype, reps):
@@ -66,10 +71,11 @@ def make_probe(shape_a, shape_b, dtype, reps):
             kernel,
             out_shape=jax.ShapeDtypeStruct((8, 128), pet),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_INTERPRET,
         )(a, b)
 
     return probe
@@ -115,14 +121,14 @@ def main():
             hi = make_probe(sa, sb, dtype, R_HI)
             t_lo = timeit(lo, mk(dtype, sa, sb))
             t_hi = timeit(hi, mk(dtype, sa, sb))
-            rate = flops * (R_HI - R_LO) / (t_hi - t_lo) / 1e12
+            rate = flops * (R_HI - R_LO) / max(t_hi - t_lo, 1e-9) / 1e12
             out[f"{name}_{dname}"] = {
                 "t_lo_s": round(t_lo, 4), "t_hi_s": round(t_hi, 4),
                 "tops_diff": round(rate, 1),
             }
         b, q = out[f"{name}_bf16"], out[f"{name}_int8"]
         out[f"int8_vs_bf16_{name}"] = round(
-            (b["t_hi_s"] - b["t_lo_s"]) / (q["t_hi_s"] - q["t_lo_s"]), 3
+            (b["t_hi_s"] - b["t_lo_s"]) / max(q["t_hi_s"] - q["t_lo_s"], 1e-9), 3
         )
     print(json.dumps(out))
 

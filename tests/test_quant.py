@@ -635,3 +635,41 @@ def test_pipeline_w8a8_vae_mode_and_calibration():
     assert "a" in leaf and float(leaf["a"]) > 0
     out2 = pipe(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
     assert np.isfinite(np.asarray(out2, np.float32)).all()
+
+
+def test_calibrate_embed_quant():
+    """Eager IResNet calibration freezes static scales on every body site;
+    the jitted static program stays close to dynamic quant."""
+    from faceposegenerator_tpu.models import iresnet
+    from faceposegenerator_tpu.pipelines.embed_extract import calibrate_embed_quant
+
+    cfg = iresnet.IResNetConfig(layers=(1, 1, 1, 1), num_features=64)
+    params, state = iresnet.init(jax.random.key(20), cfg)
+    with pytest.raises(ValueError):
+        calibrate_embed_quant(params, state, jnp.zeros((2, 112, 112, 3)), cfg=cfg)
+    qp = quant.quantize_iresnet(params)
+    x = jax.random.uniform(jax.random.key(21), (2, 112, 112, 3), minval=-1.0, maxval=1.0)
+    sp = calibrate_embed_quant(qp, state, [x], cfg=cfg, policy=PARITY_POLICY)
+
+    n_static, n_dyn = [0], [0]
+
+    def walk(t):
+        if isinstance(t, dict):
+            if quant.is_quantized(t):
+                (n_static if "a" in t else n_dyn)[0] += 1
+            else:
+                for v in t.values():
+                    walk(v)
+        elif isinstance(t, (list, tuple)):
+            for v in t:
+                walk(v)
+
+    walk(sp)
+    assert n_static[0] > 0 and n_dyn[0] == 0, (n_static, n_dyn)
+    e_dyn, _ = iresnet.apply(qp, state, x, cfg, policy=PARITY_POLICY, train=False)
+    e_sta, _ = iresnet.apply(sp, state, x, cfg, policy=PARITY_POLICY, train=False)
+    cos = float(
+        jnp.sum(e_dyn * e_sta)
+        / (jnp.linalg.norm(e_dyn) * jnp.linalg.norm(e_sta))
+    )
+    assert cos > 0.99, cos
