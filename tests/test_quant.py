@@ -643,7 +643,7 @@ def test_calibrate_embed_quant():
     from faceposegenerator_tpu.models import iresnet
     from faceposegenerator_tpu.pipelines.embed_extract import calibrate_embed_quant
 
-    cfg = iresnet.IResNetConfig(layers=(1, 1, 1, 1), num_features=64)
+    cfg = iresnet.IResNetConfig(depths=(1, 1, 1, 1), num_features=64)
     params, state = iresnet.init(jax.random.key(20), cfg)
     with pytest.raises(ValueError):
         calibrate_embed_quant(params, state, jnp.zeros((2, 112, 112, 3)), cfg=cfg)
