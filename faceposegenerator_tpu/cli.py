@@ -819,6 +819,12 @@ def cmd_serve(argv):
         help="with --quantize: freeze STATIC per-tensor activation scales "
              "from an eager STEPS-step calibration denoise before serving",
     )
+    ap.add_argument(
+        "--quant_scales", default=None, metavar="FILE",
+        help="with --quantize: attach saved static act scales from FILE "
+             "(pipe.load_quant_scales); with --quant_calibrate, SAVE the "
+             "freshly calibrated scales to FILE instead",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
@@ -841,6 +847,10 @@ def cmd_serve(argv):
             pipe.calibrate_quant(
                 ["face portrait photo of sks person"], steps=args.quant_calibrate
             )
+            if args.quant_scales:
+                pipe.save_quant_scales(args.quant_scales)
+        elif args.quant_scales:
+            pipe.load_quant_scales(args.quant_scales)
     if args.rolling:
         from .serving import RollingServer
 

@@ -396,3 +396,63 @@ def freeze_act_scales(tree, calib: dict, margin: float = 1.0):
             "stay dynamic: %s", len(missed), missed[:8],
         )
     return frozen
+
+
+def save_act_scales(tree, path: str) -> int:
+    """Serialize a calibrated tree's static act scales to JSON keyed by
+    tree path — the production flow calibrates ONCE (eager pass) and ships
+    the scales; serving processes re-attach them with `load_act_scales`
+    instead of re-running calibration. Returns the number of sites saved."""
+    import json
+
+    scales = {}
+
+    def walk(t, p=()):
+        if isinstance(t, dict):
+            if is_quantized(t):
+                if "a" in t:
+                    scales["/".join(p)] = float(t["a"])
+                return
+            for k, v in t.items():
+                walk(v, p + (k,))
+        elif isinstance(t, (list, tuple)):
+            for i, v in enumerate(t):
+                walk(v, p + (str(i),))
+
+    walk(tree)
+    with open(path, "w") as f:
+        json.dump(scales, f, indent=1, sort_keys=True)
+    return len(scales)
+
+
+def load_act_scales(tree, path: str):
+    """Attach saved static act scales to a (dynamically) quantized tree;
+    inverse of `save_act_scales`. Raises if a saved path has no quantized
+    site in `tree` (layout drift must be loud, not a silent quality bug);
+    quantized sites absent from the file stay dynamic."""
+    import json
+
+    with open(path) as f:
+        scales = dict(json.load(f))
+    unused = set(scales)
+
+    def walk(t, p=()):
+        if isinstance(t, dict):
+            if is_quantized(t):
+                key = "/".join(p)
+                if key in scales:
+                    unused.discard(key)
+                    return dict(t, a=jnp.asarray(scales[key], jnp.float32))
+                return dict(t)
+            return {k: walk(v, p + (k,)) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(walk(v, p + (str(i),)) for i, v in enumerate(t))
+        return t
+
+    out = walk(tree)
+    if unused:
+        raise ValueError(
+            f"{len(unused)} saved act scales matched no quantized site "
+            f"(tree layout drift?): {sorted(unused)[:5]}"
+        )
+    return out

@@ -255,6 +255,29 @@ class StableDiffusionPipeline:
         )
         return calib
 
+    def save_quant_scales(self, path: str) -> int:
+        """Serialize calibrated static act scales (unet + vae sites) to
+        JSON — calibrate once, ship the scales (`ops/quant.save_act_scales`).
+        Returns the number of sites saved."""
+        from ..ops.quant import save_act_scales
+
+        return save_act_scales(
+            {"unet": self.params["unet"], "vae": self.params["vae"]}, path
+        )
+
+    def load_quant_scales(self, path: str):
+        """Attach saved static act scales to this (quantized) pipeline —
+        the serving-process side of `save_quant_scales`. Call after
+        `quantize()` and before `to_mesh()`."""
+        from ..ops.quant import load_act_scales
+
+        if self.mesh is not None:
+            raise ValueError("load_quant_scales before to_mesh")
+        loaded = load_act_scales(
+            {"unet": self.params["unet"], "vae": self.params["vae"]}, path
+        )
+        self.params = dict(self.params, unet=loaded["unet"], vae=loaded["vae"])
+
     def tokenize(self, prompts: Union[str, List[str]]) -> jnp.ndarray:
         if self.tokenizer is None:
             raise ValueError("no tokenizer loaded; pass input_ids directly")

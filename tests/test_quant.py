@@ -673,3 +673,37 @@ def test_calibrate_embed_quant():
         / (jnp.linalg.norm(e_dyn) * jnp.linalg.norm(e_sta))
     )
     assert cos > 0.99, cos
+
+
+def test_save_load_act_scales(tmp_path):
+    """Scale serialization round-trip: save from a calibrated tree, load
+    onto a fresh dynamic quantization of the SAME weights → identical
+    static programs; layout drift raises."""
+    from faceposegenerator_tpu.pipelines.txt2img import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    ids = jnp.zeros((1, 77), jnp.int32)
+    pipe.quantize("w8a8+vae")
+    pipe.calibrate_quant(input_ids=ids, steps=1, height=64, width=64)
+    path = str(tmp_path / "scales.json")
+    n = pipe.save_quant_scales(path)
+    assert n > 0
+    ref = pipe(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
+
+    pipe2 = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    pipe2.quantize("w8a8+vae")
+    pipe2.load_quant_scales(path)
+    got = pipe2(input_ids=ids, num_inference_steps=2, height=64, width=64, seed=0)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    # drift: a tree quantized WITHOUT vae is missing saved sites -> loud
+    pipe3 = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    pipe3.quantize("w8a8")
+    with pytest.raises(ValueError):
+        pipe3.load_quant_scales(path)
