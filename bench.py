@@ -14,6 +14,11 @@ BASELINE.md configs: txt2img sampling, ID-Booth LoRA fine-tune step, ArcFace
 embed extraction, synthesis sweep + pose/FIQA eval harness, plus true batch-1
 p50 latency with the optional parallel-in-time sampler BENCH_PARA_WINDOW),
 BENCH_ABLATE (no_attn|no_xf|no_gn|no_vae time-attribution variants).
+Opt-in turbo knobs (exact default untouched; all tagged in the metric):
+BENCH_DEEPCACHE / BENCH_DEEPCACHE_DEPTH, BENCH_CFG_INTERVAL=i0:i1,
+BENCH_TOME / BENCH_TOME_OPS, BENCH_QUANT=w8a8|w8a8+vae,
+BENCH_QUANT_ACT=<float> (constant STATIC act scales — program-identical to
+a calibrated tree), BENCH_SCHEDULER=ddpm|dpm (DPM-Solver++ few-step mode).
 """
 
 from __future__ import annotations
