@@ -59,6 +59,13 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     if impl == "reference":
         return _reference_attention(q, k, v, scale, kv_len)
+    if impl == "flash_int8":
+        # OPT-IN int8 attention core (SageAttention-style, inference only):
+        # packed d=64 heads run int8 QKᵀ/PV on the MXU's 2× int8 path;
+        # other head dims fall back to the exact bf16 flash kernel inside.
+        from .flash_attention import flash_attention_int8
+
+        return flash_attention_int8(q, k, v, scale=scale, kv_len=kv_len)
     if impl in ("auto", "flash"):
         from .flash_attention import flash_attention, flash_supported
 

@@ -1098,3 +1098,198 @@ def flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash_attention(q, k, v, scale, kv_len, block_q, block_k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# int8 forward (SageAttention-style, arXiv:2410.02367) — inference only
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_packed_int8(
+    q_ref, k_ref, v_ref, sc_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, kv_len, block_k, d,
+):
+    """Packed two-heads int8 forward: q/k/v tiles are int8 (per-tensor
+    symmetric scales), QKᵀ and PV run int8×int8→int32 on the MXU (2× the
+    bf16 rate on v5e for the PV's long contraction), the online softmax
+    stays fp32. The probability tile is requantized to int8 with the FIXED
+    scale 1/127 (p ∈ [0, 1] by construction, so no reduce is needed — the
+    SageAttention observation that makes int8 PV cheap).
+
+    sc_ref (SMEM, (1, 2) fp32): [0] = sq·sk·softmax_scale (dequant of the
+    int32 logits), [1] = sv/127 (dequant of the int32 PV accumulator).
+    Numerics: q/k carry ≤ ~1% per-tensor int8 error and p quantizes on a
+    1/127 grid — an approximation mode like DeepCache/w8a8, reported behind
+    its own flag and measurable per checkpoint via accel-report."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # int8 (bq, 2d) = [qa | qb]
+    k = k_ref[0]  # int8 (bk, 2d)
+    v = v_ref[0]  # int8 (bk, 2d)
+    c_qk = sc_ref[0, 0]
+    c_v = sc_ref[0, 1]
+
+    zero = jnp.zeros((), q.dtype)
+    lane_lo_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) < d
+    q_lo = jnp.where(lane_lo_q, q, zero)
+    q_hi = jnp.where(lane_lo_q, zero, q)
+    dn = (((1,), (1,)), ((), ()))
+    s_a = jax.lax.dot_general(
+        q_lo, k, dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * c_qk
+    s_b = jax.lax.dot_general(
+        q_hi, k, dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * c_qk
+
+    if kv_len is not None:
+        pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s_a.shape, 1)
+        live = pos < kv_len
+        s_a = jnp.where(live, s_a, NEG_INF)
+        s_b = jnp.where(live, s_b, NEG_INF)
+
+    m_prev_a = m_ref[:, :1]
+    m_prev_b = m_ref[:, d : d + 1]
+    m_new_a = jnp.maximum(m_prev_a, jnp.max(s_a, axis=1, keepdims=True))
+    m_new_b = jnp.maximum(m_prev_b, jnp.max(s_b, axis=1, keepdims=True))
+    p_a = jnp.exp(s_a - m_new_a)
+    p_b = jnp.exp(s_b - m_new_b)
+
+    lane_lo = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < d
+    alpha = jnp.where(
+        lane_lo, jnp.exp(m_prev_a - m_new_a), jnp.exp(m_prev_b - m_new_b)
+    )
+
+    # p ∈ [0,1] → int8 on the fixed 1/127 grid (truncation after +0.5 is
+    # round-half-up; max 127.5 truncates to 127 — no clip needed)
+    pa8 = (p_a * 127.0 + 0.5).astype(jnp.int8)
+    pb8 = (p_b * 127.0 + 0.5).astype(jnp.int8)
+    l_a = jnp.sum(p_a, axis=1, keepdims=True, dtype=jnp.float32)
+    l_b = jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
+    dn_av = (((1,), (0,)), ((), ()))
+    d_a = jax.lax.dot_general(
+        pa8, v, dn_av, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * c_v
+    d_b = jax.lax.dot_general(
+        pb8, v, dn_av, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * c_v
+
+    acc_ref[:] = acc_ref[:] * alpha + jnp.where(lane_lo, d_a, d_b)
+    m_ref[:] = jnp.where(lane_lo, m_new_a, m_new_b)
+    l_ref[:] = l_ref[:] * alpha + jnp.where(lane_lo, l_a, l_b)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_3d_packed_int8(
+    qp, kp, vp, scale, kv_len, block_q, block_k, interpret, d, out_dtype
+):
+    """int8 packed forward over pre-packed (BH2, S, 2d) bf16/fp32 tensors:
+    per-tensor symmetric int8 quantization of q/k/v on the XLA side (three
+    elementwise passes — amortized over the O(S²) attention), then the
+    int8 kernel. Returns (BH2, Sq, 2d) in `out_dtype`."""
+    bh2, sq, d2 = qp.shape
+    skv = kp.shape[1]
+
+    qf = qp.astype(jnp.float32)
+    kf = kp.astype(jnp.float32)
+    vf = vp.astype(jnp.float32)
+    sq_s = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-8) / 127.0
+    sk_s = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-8) / 127.0
+    sv_s = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(qf / sq_s), -127, 127).astype(jnp.int8)
+    k8 = jnp.clip(jnp.round(kf / sk_s), -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(vf / sv_s), -127, 127).astype(jnp.int8)
+    scalars = jnp.stack(
+        [sq_s * sk_s * jnp.float32(scale), sv_s / 127.0]
+    ).reshape(1, 2)
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    pad_q = (-sq) % block_q
+    pad_k = (-skv) % block_k
+    if pad_k and kv_len is None:
+        kv_len = skv
+    if pad_q:
+        q8 = jnp.pad(q8, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k8 = jnp.pad(k8, ((0, 0), (0, pad_k), (0, 0)))
+        v8 = jnp.pad(v8, ((0, 0), (0, pad_k), (0, 0)))
+    sq_p, skv_p = sq + pad_q, skv + pad_k
+
+    grid = (bh2, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(
+        _fwd_kernel_packed_int8, kv_len=kv_len, block_k=block_k, d=d
+    )
+    q_spec = pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0))
+    if pltpu is not None and not interpret:
+        sc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        sc_spec = pl.BlockSpec((1, 2), lambda b, i, j: (0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            q_spec,
+            pl.BlockSpec((1, block_k, d2), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d2), lambda b, i, j: (b, j, 0)),
+            sc_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d2), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh2, sq_p, d2), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d2), jnp.float32),
+            pltpu.VMEM((block_q, d2), jnp.float32),
+            pltpu.VMEM((block_q, d2), jnp.float32),
+        ],
+        compiler_params=_kernel_compiler_params(block_q, block_k, interpret),
+        interpret=interpret,
+    )(q8, k8, v8, scalars)
+    if pad_q:
+        out = out[:, :sq]
+    return out
+
+
+def flash_attention_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """int8 flash attention over (B, S, H, D), non-causal, INFERENCE ONLY
+    (the quantizers have no useful gradient — like the w8a8 tree, this is
+    an opt-in serving mode, selected via attn impl "flash_int8").
+
+    Only the packed d=64 path (the SD2.1 UNet's every attention) runs
+    int8; other head dims fall back to the exact bf16 flash kernel (the
+    VAE's d=512 mid-block attention is ~0.3% of decode FLOPs)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, sqq, h, d = q.shape
+    if d * 2 != 128:
+        return flash_attention(
+            q, k, v, scale=scale, kv_len=kv_len,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+    qp = _pack_heads(q, d)
+    kp = _pack_heads(k, d)
+    vp = _pack_heads(v, d)
+    o3 = _flash_fwd_3d_packed_int8(
+        qp, kp, vp, scale, kv_len, block_q, block_k, interpret, d, q.dtype
+    )
+    return _unpack_heads(o3, b, h, d)

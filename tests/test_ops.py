@@ -375,3 +375,69 @@ def test_fused_gn_silu_conv3x3_gradients_match_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, cw, cb)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# int8 flash attention (opt-in inference mode, impl="flash_int8")
+# ---------------------------------------------------------------------------
+
+
+def test_flash_int8_close_to_reference():
+    """Packed d=64 int8 attention: per-tensor int8 q/k + 1/127-grid p give
+    ~1% relative error on random inputs — an approximation mode (like
+    w8a8), bounded, not exact."""
+    from faceposegenerator_tpu.ops.attention import _reference_attention
+    from faceposegenerator_tpu.ops.flash_attention import flash_attention_int8
+
+    k1, k2, k3 = jax.random.split(jax.random.key(30), 3)
+    q = jax.random.normal(k1, (2, 256, 4, 64), jnp.float32) * 0.5
+    k = jax.random.normal(k2, (2, 256, 4, 64), jnp.float32) * 0.5
+    v = jax.random.normal(k3, (2, 256, 4, 64), jnp.float32)
+    ref = _reference_attention(q, k, v, 64**-0.5)
+    got = flash_attention_int8(q, k, v, block_q=128, block_k=128, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+
+def test_flash_int8_kv_mask_and_fallback():
+    from faceposegenerator_tpu.ops.attention import _reference_attention
+    from faceposegenerator_tpu.ops.flash_attention import flash_attention_int8
+
+    k1, k2, k3 = jax.random.split(jax.random.key(31), 3)
+    q = jax.random.normal(k1, (1, 128, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 128, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 128, 2, 64), jnp.float32)
+    # padded-KV cross-attention: masked columns contribute exactly nothing
+    ref = _reference_attention(q, k, v, 64**-0.5, kv_len=77)
+    got = flash_attention_int8(q, k, v, kv_len=77, block_q=128, block_k=128,
+                               interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+    # non-packable head dim falls back to the EXACT bf16 flash kernel
+    q32 = jax.random.normal(k1, (1, 128, 2, 32), jnp.float32)
+    ref32 = _reference_attention(q32, q32, q32, 32**-0.5)
+    got32 = flash_attention_int8(q32, q32, q32, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(ref32), atol=2e-5)
+
+
+def test_flash_int8_through_unet_apply():
+    """attn_impl="flash_int8" threads through the UNet transformer blocks
+    (uses interpret mode off-TPU automatically) and stays close to exact."""
+    from faceposegenerator_tpu.models import unet2d
+    from faceposegenerator_tpu.core.precision import PARITY_POLICY
+
+    cfg = unet2d.UNetConfig(
+        block_out_channels=(128, 128, 128, 128), cross_attention_dim=64,
+        head_dim=64,
+    )
+    params = unet2d.init(jax.random.key(32), cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(33), (1, 16, 16, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(34), (1, 7, 64), jnp.float32)
+    t = jnp.array([7], jnp.int32)
+    exact = unet2d.apply(params, x, t, ctx, cfg, policy=PARITY_POLICY,
+                         attn_impl="reference")
+    got = unet2d.apply(params, x, t, ctx, cfg, policy=PARITY_POLICY,
+                       attn_impl="flash_int8")
+    rel = float(jnp.linalg.norm(got - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.05, rel
