@@ -894,7 +894,8 @@ def cmd_accel_report(argv):
     ap.add_argument(
         "--mode", action="append", default=[], metavar="SPEC",
         help="mode spec, repeatable: deepcache=3, tome=0.5, cfg_interval=5:20, "
-             "quantize=w8a8, parallel=8:0.1, or compositions joined with '+' "
+             "quantize=w8a8, parallel=8:0.1, attn=flash_int8, scheduler=dpm:20, "
+             "or compositions joined with '+' "
              "(e.g. deepcache=3+cfg_interval=5:20)",
     )
     ap.add_argument("--prompt", action="append", default=[],

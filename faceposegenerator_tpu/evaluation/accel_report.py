@@ -27,6 +27,11 @@ Mode specs are composable strings (the CLI surface):
                          w8a8,vae (pipeline mode "w8a8+vae") also quantizes
                          the VAE decoder body
     parallel=8:0.1       Picard window 8, tolerance 0.1
+    attn=flash_int8      int8 attention core (SageAttention-style packed
+                         d=64 kernel, ops/flash_attention.py)
+    scheduler=dpm:20     DPM-Solver++ at 20 steps (the reference's own
+                         validation sampler, train_ID-Booth.py:147);
+                         bare "dpm" keeps the report's step count
     deepcache=3+cfg_interval=5:20+quantize=w8a8     composition
 """
 
@@ -73,12 +78,26 @@ def parse_mode(spec: str):
             kwargs["parallel_window"] = int(w)
             if tol:
                 kwargs["parallel_tolerance"] = float(tol)
+        elif key == "attn":
+            # pipeline-level (SamplerModels.attn_impl), popped by
+            # compare_modes before the pipe call
+            if val not in ("auto", "flash", "flash_int8", "reference"):
+                raise ValueError(f"unknown attn impl {val!r} in {spec!r}")
+            kwargs["attn_impl"] = val
+        elif key == "scheduler":
+            kind, _, steps = val.partition(":")
+            if kind not in ("ddpm", "dpm"):
+                raise ValueError(f"unknown scheduler {kind!r} in {spec!r}")
+            kwargs["scheduler_kind"] = kind  # pipeline-level, popped
+            if steps:
+                kwargs["num_inference_steps"] = int(steps)
         else:
             raise ValueError(f"unknown mode key {key!r} in {spec!r}")
     return kwargs, quantize
 
 
-def _sibling_pipe(pipe, quantize: Optional[str], calib_kw: Optional[dict] = None):
+def _sibling_pipe(pipe, quantize: Optional[str], calib_kw: Optional[dict] = None,
+                  attn_impl: Optional[str] = None, scheduler_kind: Optional[str] = None):
     """A pipeline sharing `pipe`'s params/LoRA; optionally quantized.
     `quantize()` rebinds the sibling's params dict, so the original
     pipeline's exact tree is untouched.
@@ -87,13 +106,18 @@ def _sibling_pipe(pipe, quantize: Optional[str], calib_kw: Optional[dict] = None
     "w8a8:static:8"): after quantizing, run `calibrate_quant` for N steps
     (default 4) on the report's own prompts (`calib_kw`) so the report
     measures the STATIC-act-scale program's quality."""
+    import dataclasses
+
     from ..pipelines.txt2img import StableDiffusionPipeline
 
+    models = pipe.models
+    if attn_impl is not None:
+        models = dataclasses.replace(models, attn_impl=attn_impl)
     p = StableDiffusionPipeline(
-        dict(pipe.params), models=pipe.models, tokenizer=pipe.tokenizer,
+        dict(pipe.params), models=models, tokenizer=pipe.tokenizer,
         policy=pipe.policy, scheduler_config=pipe.scheduler_config,
     )
-    p.scheduler_kind = pipe.scheduler_kind
+    p.scheduler_kind = scheduler_kind or pipe.scheduler_kind
     p.lora, p.lora_scale = pipe.lora, pipe.lora_scale
     if quantize:
         base, _, static = quantize.partition(":")
@@ -188,9 +212,14 @@ def compare_modes(
         calib_kw["prompt"] = list(prompts)
     for spec in modes:
         call_kwargs, quantize = parse_mode(spec)
-        p = _sibling_pipe(pipe, quantize, calib_kw)
+        p = _sibling_pipe(
+            pipe, quantize, calib_kw,
+            attn_impl=call_kwargs.pop("attn_impl", None),
+            scheduler_kind=call_kwargs.pop("scheduler_kind", None),
+        )
         t0 = time.perf_counter()
-        got = np.asarray(p(**gen_kw, **call_kwargs))
+        # scheduler=dpm:N overrides the report's step count for this mode
+        got = np.asarray(p(**{**gen_kw, **call_kwargs}))
         mode_s = time.perf_counter() - t0
         psnr, mse = _psnr(exact, got)
         finite = [v for v in psnr if v is not None]

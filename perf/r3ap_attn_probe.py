@@ -53,7 +53,10 @@ def make_probe(shape_a, shape_b, dtype, reps):
 
         def body(i, acc):
             if dtype == jnp.int8:
-                b = b_ref[...] + i.astype(jnp.int8)
+                # Mosaic has no vector<i8> arithmetic ("Only vector<i16>
+                # and vector<i32> are supported") — perturb in i32 and
+                # truncate back; the convert is ~0.05% of the MXU cycles.
+                b = (b_ref[...].astype(jnp.int32) + i).astype(jnp.int8)
             else:
                 b = b_ref[...] * (1.0 + i.astype(jnp.float32) * 1e-6).astype(dtype)
             y = jax.lax.dot_general(

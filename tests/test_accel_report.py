@@ -48,6 +48,13 @@ def test_parse_mode():
     assert kw == {"tome_ratio": 0.5, "tome_ops": "attn+xattn+mlp"}
     kw, q = parse_mode("parallel=8:0.2")
     assert kw == {"parallel_window": 8, "parallel_tolerance": 0.2}
+    # pipeline-level keys (compare_modes pops them before the pipe call)
+    kw, q = parse_mode("attn=flash_int8")
+    assert kw == {"attn_impl": "flash_int8"} and q is None
+    kw, q = parse_mode("scheduler=dpm:20")
+    assert kw == {"scheduler_kind": "dpm", "num_inference_steps": 20}
+    kw, q = parse_mode("scheduler=dpm+quantize=w8a8")
+    assert kw == {"scheduler_kind": "dpm"} and q == "w8a8"
 
 
 def test_parse_mode_rejects_junk():
@@ -55,6 +62,10 @@ def test_parse_mode_rejects_junk():
         parse_mode("warp=9")
     with pytest.raises(ValueError):
         parse_mode("deepcache")
+    with pytest.raises(ValueError):
+        parse_mode("attn=int4")
+    with pytest.raises(ValueError):
+        parse_mode("scheduler=euler")
 
 
 def test_compare_modes_anchors_and_approximations():
@@ -130,6 +141,32 @@ def test_accel_report_cli(tmp_path):
     rep = json.load(open(out))
     assert "deepcache=2" in rep["modes"]
     assert rep["modes"]["deepcache=2"]["identical_frac"] <= 1.0
+
+
+def test_compare_modes_pipeline_level_keys():
+    """attn=/scheduler= modes build the sibling with a different
+    SamplerModels/scheduler (popped before the pipe call); the caller's
+    pipeline keeps its own attn impl, scheduler, and step count."""
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.key(0), models=TINY, policy=PARITY_POLICY
+    )
+    ids = jax.random.randint(jax.random.key(1), (1, 77), 0, 512)
+    report = compare_modes(
+        pipe, ["attn=reference", "scheduler=dpm:2"],
+        input_ids=ids, seed=7, num_inference_steps=3, height=64, width=64,
+    )
+    # attn=reference is the same math through a different program: output
+    # must be valid u8 images and the row JSON-clean (bit-identity is not
+    # guaranteed across programs, so no anchor assertion)
+    for name in ("attn=reference", "scheduler=dpm:2"):
+        m = report["modes"][name]
+        assert m["identical_frac"] <= 1.0
+        json.dumps(m)
+    # the few-step DPM row is a genuinely different chain vs DDPM-3 exact
+    assert report["modes"]["scheduler=dpm:2"]["identical_frac"] < 1.0
+    # the caller's pipeline is untouched
+    assert pipe.models.attn_impl == TINY.attn_impl
+    assert pipe.scheduler_kind == "ddpm"
 
 
 def test_compare_modes_static_quant():
