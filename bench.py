@@ -18,7 +18,8 @@ Opt-in turbo knobs (exact default untouched; all tagged in the metric):
 BENCH_DEEPCACHE / BENCH_DEEPCACHE_DEPTH, BENCH_CFG_INTERVAL=i0:i1,
 BENCH_TOME / BENCH_TOME_OPS, BENCH_QUANT=w8a8|w8a8+vae,
 BENCH_QUANT_ACT=<float> (constant STATIC act scales — program-identical to
-a calibrated tree), BENCH_SCHEDULER=ddpm|dpm (DPM-Solver++ few-step mode).
+a calibrated tree), BENCH_SCHEDULER=ddpm|dpm (DPM-Solver++ few-step mode;
+sampler, latency, and sweep benches).
 """
 
 from __future__ import annotations
@@ -169,6 +170,11 @@ def bench_sweep(repeats: int):
         # stamps constant static act scales (perf probe for the calibrated
         # path — same program as calibrate_quant, different constants).
         pipe.quantize(qmode, act_scale=float(qact) if qact else None)
+    # BENCH_SCHEDULER=dpm + BENCH_STEPS: DPM-Solver++ few-step sweep (the
+    # scheduler is pipeline-level; run_sweep inherits pipe.scheduler_kind)
+    sched_kind = os.environ.get("BENCH_SCHEDULER", "ddpm")
+    sweep_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    pipe.set_scheduler(sched_kind)
 
     # eval harness models (random weights; throughput is weight-agnostic)
     fr_cfg = iresnet.config_for("r100")
@@ -236,7 +242,7 @@ def bench_sweep(repeats: int):
         run_sweep(
             pipe, lora_root, out_root,
             identities=[str(i) for i in range(n_ids)], models_to_test=models_to_test,
-            num_prompts=n_prompts, num_inference_steps=30,
+            num_prompts=n_prompts, num_inference_steps=sweep_steps,
             guidance_scale=5.0, batch_size=gen_batch, seed=0,
             on_images=harness if run_eval else None, write_pngs=write_pngs,
             pack_variants=pack,
@@ -274,8 +280,9 @@ def bench_sweep(repeats: int):
         quant_tag += f", DEEPCACHE={sweep_dc}"
     if sweep_civ is not None:
         quant_tag += f", CFGIV={sweep_civ[0]}:{sweep_civ[1]}"
+    sched_tag = f"{sweep_steps}-step CFG" if sched_kind == "ddpm" else f"{sweep_steps}-step DPM++ CFG"
     return {
-        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}{models_tag}{pack_tag}{quant_tag}, 30-step CFG + FIQA + pose)",
+        "metric": f"synthesis-sweep+eval imgs/sec/chip 512x512 ({n_prompts} prompts{ids_tag}{models_tag}{pack_tag}{quant_tag}, {sched_tag} + FIQA + pose)",
         "value": round(n_images / best, 3),
         "unit": "img/s",
         "vs_baseline": round(n_images / best / 30.0, 3),
