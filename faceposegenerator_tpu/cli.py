@@ -28,6 +28,21 @@ def _add_common(ap):
     ap.add_argument("--seed", type=int, default=0)
 
 
+def _reject_preset_conflicts(ap, args, flag_defaults: dict):
+    """--preset owns the turbo knobs; an explicit turbo flag alongside it is
+    ambiguous (which wins?) — refuse instead of silently overriding."""
+    clashing = [
+        f"--{name}" for name, default in flag_defaults.items()
+        if getattr(args, name) != default
+    ]
+    if clashing:
+        ap.error(
+            f"--preset {args.preset} sets the acceleration knobs itself; "
+            f"drop {', '.join(clashing)} (or drop --preset and set knobs "
+            f"manually)"
+        )
+
+
 def cmd_train_idbooth(argv):
     ap = argparse.ArgumentParser(prog="train-idbooth")
     _add_common(ap)
@@ -170,13 +185,39 @@ def cmd_generate(argv):
              "from an eager STEPS-step calibration denoise "
              "(pipe.calibrate_quant) — removes the dynamic amax passes",
     )
+    ap.add_argument(
+        "--preset", default=None, metavar="NAME",
+        help="named, quality-gated acceleration stack (pipelines/presets.py: "
+             "'turbo' throughput / 'latency' batch-1) — sets scheduler, "
+             "steps, and the turbo knobs to the measured champion values; "
+             "mutually exclusive with the individual turbo flags",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
     from .pipelines.sweep import run_sweep
 
+    preset = None
+    if args.preset:
+        from .pipelines.presets import get_preset
+
+        preset = get_preset(args.preset)
+        _reject_preset_conflicts(
+            ap, args,
+            dict(deepcache=1, tome=0.0, cfg_interval=None, quantize=None,
+                 quant_calibrate=0, steps=30),
+        )
+
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
-    pipe.set_scheduler("ddpm")
+    if preset is not None:
+        sample_kw = preset.apply(pipe)
+        args.steps = preset.steps
+        args.deepcache = sample_kw.get("deepcache_interval", 1)
+        args.deepcache_depth = sample_kw.get("deepcache_depth", 1)
+        civ = sample_kw.get("cfg_interval")
+        args.cfg_interval = f"{civ[0]}:{civ[1]}" if civ else None
+    else:
+        pipe.set_scheduler("ddpm")
     if args.quantize:
         pipe.quantize(args.quantize)
         if args.quant_calibrate:
@@ -457,6 +498,45 @@ def cmd_pyeer(argv):
     print(json.dumps(res, indent=2))
 
 
+def cmd_analyze(argv):
+    """Dataset-distribution / training-log analysis
+    (`Evaluation/PyEER_analysis/analysis_scripts/` live parts:
+    `analyse_dataset.py` gen/imp distribution + `plot_distributions.py`
+    histogram + `plot_logs.py` curves). One of:
+      --embeds_dir: per-identity embeddings → genuine/impostor score split
+        (reference sampling convention), full EER stats JSON, score .npz,
+        histogram PNG with the EER-threshold line;
+      --logs: a core.trackers scalars.jsonl → per-metric curve PNGs."""
+    ap = argparse.ArgumentParser(prog="analyze")
+    ap.add_argument("--embeds_dir", default=None,
+                    help="per-id .npy arrays, per-id subdirs, or flat <id>_<img>.npy")
+    ap.add_argument("--logs", default=None, help="scalars.jsonl from core.trackers")
+    ap.add_argument("--metric", action="append", default=[],
+                    help="with --logs: metric to plot (repeatable; default all)")
+    ap.add_argument("--output", default="analysis_out")
+    ap.add_argument("--name", default="dataset")
+    ap.add_argument("--num_ids", type=int, default=0, help="0 = all")
+    ap.add_argument("--num_imgs", type=int, default=0, help="per id; 0 = all")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    if not (args.embeds_dir or args.logs):
+        ap.error("pass --embeds_dir and/or --logs")
+
+    from .evaluation.analysis import dataset_distribution_report, plot_training_logs
+
+    out = {}
+    if args.embeds_dir:
+        out["distribution"] = dataset_distribution_report(
+            args.embeds_dir, args.output, name=args.name,
+            num_ids=args.num_ids, num_imgs=args.num_imgs, seed=args.seed,
+        )
+    if args.logs:
+        out["logs"] = plot_training_logs(
+            args.logs, args.output, metrics=args.metric or None, name=args.name
+        )
+    print(json.dumps(out, indent=2))
+
+
 def cmd_fiqa(argv):
     ap = argparse.ArgumentParser(prog="fiqa")
     ap.add_argument("--image_dir", required=True)
@@ -523,6 +603,20 @@ def cmd_parity(argv):
     ap.add_argument("--guidance_scale", type=float, default=5.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tolerance", type=float, default=5e-4)
+    ap.add_argument(
+        "--full_chain", action="store_true",
+        help="additionally run the FULL-CHAIN per-step leg "
+             "(bridge/full_chain.py): the real jitted sampler vs an "
+             "all-torch CLIP→UNet→DDPM→VAE loop on identical noise — "
+             "BASELINE.md's 'fp32 bit-comparable per denoising step' "
+             "criterion over the whole chain (needs --model_dir)",
+    )
+    ap.add_argument(
+        "--full_chain_tolerance", type=float, default=5e-3,
+        help="latent max-abs bound for the full-chain leg (accumulates over "
+             "steps across two execution orders; per-step bound at step 0 "
+             "is --tolerance)",
+    )
     ap.add_argument("--output", default="parity_verdict.json")
     args = ap.parse_args(argv)
 
@@ -730,6 +824,48 @@ def cmd_parity(argv):
         and not mv
     )
     leg_passes.append(diffusion_pass)
+
+    if args.full_chain:
+        # the jitted sampler program vs an all-torch loop, per scheduler
+        # step (VERDICT r3 #2; tests/test_full_chain_parity.py is the
+        # tiny-weights version of exactly this leg)
+        import transformers
+
+        from .bridge.full_chain import compare_full_chain
+        from .diffusion.sampler import SamplerModels
+
+        te_dir = os.path.join(args.model_dir, "text_encoder")
+        hf_cfg = transformers.CLIPTextConfig.from_json_file(
+            os.path.join(te_dir, "config.json")
+        )
+        tm_text = transformers.CLIPTextModel(hf_cfg).eval()
+        tmissing, _ = tm_text.load_state_dict(
+            _torch_sd("text_encoder"), strict=False
+        )
+
+        def text_fn(ids_np):
+            with torch.no_grad():
+                return tm_text(torch.from_numpy(ids_np)).last_hidden_state.numpy()
+
+        chain = compare_full_chain(
+            params,
+            SamplerModels(text_cfg=text_cfg, unet_cfg=unet_cfg,
+                          vae_cfg=vae_cfg, attn_impl="reference"),
+            text_fn, tm_unet, tm_vae,
+            np.asarray(ids), np.asarray(neg),
+            steps=args.steps, guidance_scale=args.guidance_scale,
+            height=args.resolution, width=args.resolution, seed=args.seed,
+        )
+        chain["text_missing_keys"] = len(tmissing)
+        chain["pass"] = bool(
+            chain["latent_max_abs"] < args.full_chain_tolerance
+            and chain["latent_max_abs_per_step"][0] < args.tolerance
+            and chain["image_max_abs"] < args.full_chain_tolerance
+            and not tmissing
+        )
+        verdict["full_chain"] = chain
+        leg_passes.append(chain["pass"])
+
     verdict.update({
         "model_dir": args.model_dir,
         "steps": args.steps,
@@ -825,11 +961,34 @@ def cmd_serve(argv):
              "(pipe.load_quant_scales); with --quant_calibrate, SAVE the "
              "freshly calibrated scales to FILE instead",
     )
+    ap.add_argument(
+        "--preset", default=None, metavar="NAME",
+        help="named, quality-gated acceleration stack (pipelines/presets.py: "
+             "'turbo' throughput / 'latency' batch-1) — sets scheduler, "
+             "steps, and the turbo knobs to the measured champion values; "
+             "mutually exclusive with the individual turbo flags and "
+             "--rolling (rolling composes only with --quantize)",
+    )
     args = ap.parse_args(argv)
 
     from .pipelines import StableDiffusionPipeline
     from .serving import SamplerServer
     from .serving.http_api import serve_http
+
+    preset = None
+    if args.preset:
+        from .pipelines.presets import get_preset
+
+        preset = get_preset(args.preset)
+        if args.rolling:
+            ap.error("--preset does not compose with --rolling (the rolling "
+                     "tick is ddpm-exact; use --quantize there instead)")
+        _reject_preset_conflicts(
+            ap, args,
+            dict(deepcache=1, tome=0.0, cfg_interval=None, quantize=None,
+                 quant_calibrate=0, steps=30, scheduler="ddpm",
+                 parallel_window=0),
+        )
 
     mesh = None
     if args.data_parallel:
@@ -840,7 +999,16 @@ def cmd_serve(argv):
         mesh = make_mesh(devices=jax.devices()[: args.data_parallel])
 
     pipe = StableDiffusionPipeline.from_pretrained(args.model_dir)
-    pipe.set_scheduler(args.scheduler)
+    if preset is not None:
+        sample_kw = preset.apply(pipe)
+        args.scheduler = preset.scheduler
+        args.steps = preset.steps
+        args.deepcache = sample_kw.get("deepcache_interval", 1)
+        args.deepcache_depth = sample_kw.get("deepcache_depth", 1)
+        civ = sample_kw.get("cfg_interval")
+        args.cfg_interval = f"{civ[0]}:{civ[1]}" if civ else None
+    else:
+        pipe.set_scheduler(args.scheduler)
     if args.quantize:
         pipe.quantize(args.quantize)
         if args.quant_calibrate:
@@ -909,10 +1077,20 @@ def cmd_accel_report(argv):
     ap.add_argument("--arcface_pth", default=None,
                     help="ArcFace .pth — enables the identity-cosine rows")
     ap.add_argument("--arcface_network", default="r100")
+    ap.add_argument(
+        "--preset", action="append", default=[], metavar="NAME",
+        help="report a named preset (pipelines/presets.py) — expands to the "
+             "mode spec measuring EXACTLY that stack (Preset.mode_spec()); "
+             "repeatable, composable with --mode",
+    )
     ap.add_argument("--output", default=None, help="write the report JSON here (also printed)")
     args = ap.parse_args(argv)
+    if args.preset:
+        from .pipelines.presets import get_preset
+
+        args.mode.extend(get_preset(n).mode_spec() for n in args.preset)
     if not args.mode:
-        ap.error("pass at least one --mode")
+        ap.error("pass at least one --mode (or --preset)")
 
     from .evaluation.accel_report import compare_modes, make_embed_fn_u8
     from .pipelines import StableDiffusionPipeline
@@ -955,6 +1133,7 @@ COMMANDS = {
     "test-fr": cmd_test_fr,
     "dgm-eval": cmd_dgm_eval,
     "pyeer": cmd_pyeer,
+    "analyze": cmd_analyze,
     "fiqa": cmd_fiqa,
     "pose": cmd_pose,
     "accel-report": cmd_accel_report,

@@ -174,17 +174,14 @@ def get_aug_policy(name: str, faa_file: Optional[str] = None) -> Callable:
 
         return blur_hf
     if name.startswith("faa"):
-        # FastAutoAugment policy tables (`FR_training/utils/FAA_policy.py`,
-        # 2.4k LoC of tuned tuples) are dataset-specific artifacts not
-        # bundled here; a loader shim parses them out of the original file
-        # (point FAA_POLICY_FILE or the faa_file kwarg at it).
+        # FastAutoAugment policy tables — published tuned constants
+        # (`FR_training/utils/FAA_policy.py:238,441`, themselves adapted
+        # from rpmcruz/autoaugment) — ship as a parsed JSON artifact
+        # (faa_policies.json: "casia" = IResNet50CasiaPolicy's 50
+        # subpolicies, "imgnet" = ReducedImageNetPolicy's 498), so
+        # `faa_casia`/`faa_imgnet` work out of the box. FAA_POLICY_FILE /
+        # faa_file still override with an external FAA_policy.py.
         path = faa_file or os.environ.get("FAA_POLICY_FILE")
-        if not path:
-            raise NotImplementedError(
-                "FAA policies are data artifacts not bundled here; pass "
-                "faa_file=/path/to/FAA_policy.py (or set FAA_POLICY_FILE), "
-                "or use 'hf', 'ra_N_M', 'blur'"
-            )
         which = "casia" if "casia" in name else "imgnet"
         policies = load_faa_policies(path, which)
         faa = faa_augment(policies)
@@ -231,11 +228,24 @@ _FAA_MIRRORED = {"ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
                  "TranslateXAbs", "TranslateYAbs"}
 
 
-def load_faa_policies(path: str, which: str = "casia"):
-    """Extract the policy table literals (`iresnet50_casia_policies` /
-    `fa_resnet50_rimagenet`) from an FAA_policy.py file without importing
-    it. Returns a list of subpolicies: [[(op, prob, level), ...], ...]."""
+def load_faa_policies(path: Optional[str] = None, which: str = "casia"):
+    """FAA policy tables: the bundled `faa_policies.json` artifact by
+    default (parsed once from the published tables), or — given a `path` —
+    extract the policy literals (`iresnet50_casia_policies` /
+    `fa_resnet50_rimagenet`) from an external FAA_policy.py without
+    importing it. Returns a list of subpolicies:
+    [[(op, prob, level), ...], ...]."""
     import ast
+    import json
+
+    if path is None or path.endswith(".json"):
+        if path is None:
+            path = os.path.join(os.path.dirname(__file__), "faa_policies.json")
+        with open(path) as f:
+            tables = json.load(f)
+        if which not in tables:
+            raise ValueError(f"{which!r} not in {path} (has {sorted(tables)})")
+        return tables[which]
 
     target = "iresnet50_casia_policies" if which == "casia" else "fa_resnet50_rimagenet"
     tree = ast.parse(open(path).read())

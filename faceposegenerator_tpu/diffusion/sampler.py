@@ -53,6 +53,7 @@ class SamplerModels:
         "models", "guidance_scale", "height", "width", "policy", "scheduler",
         "decode_chunk", "unroll", "deepcache_interval", "deepcache_depth",
         "tome_ratio", "tome_min_tokens", "tome_ops", "cfg_interval",
+        "return_trajectory",
     ),
 )
 def sample(
@@ -79,6 +80,7 @@ def sample(
     tome_min_tokens: int = 4096,
     tome_ops: str = "attn",
     cfg_interval: Optional[tuple] = None,
+    return_trajectory: bool = False,
 ) -> jax.Array:
     """Generate images.
 
@@ -102,6 +104,15 @@ def sample(
     `tome_ratio > 0` (OPT-IN approximation, composable with DeepCache):
     ToMe token merging before every ≥4096-token UNet self-attention
     (`ops/tome.py`, arXiv:2303.17604); 0.0 = exact.
+
+    `return_trajectory=True` (exact paths only — no deepcache/tome/
+    cfg_interval/unroll): additionally return the latent x_i AFTER every
+    scheduler step, shape (S, B, h, w, 4) — the probe surface for
+    BASELINE.md's "fp32 bit-comparable PER DENOISING STEP" criterion
+    (tests/test_full_chain_parity.py, `cli parity --full_chain`). The
+    trajectory rides the same fori_loop as production (a dynamic-slice
+    write per step), so the per-step math is the deployed program's, not
+    a rewritten eager loop's.
 
     `cfg_interval=(i0, i1)` (OPT-IN approximation; default None = exact):
     guidance interval (Kynkäänniemi et al., arXiv:2404.07724) — CFG is
@@ -180,6 +191,16 @@ def sample(
             raise ValueError(f"cfg_interval {cfg_interval} not within [0, {S}]")
         if unroll > 1:
             raise ValueError("cfg_interval is not composable with unroll yet")
+
+    traj = None
+    if return_trajectory:
+        if (deepcache_interval > 1 or tome_ratio > 0.0
+                or cfg_interval is not None or unroll > 1):
+            raise ValueError(
+                "return_trajectory is a parity probe for the EXACT chain; "
+                "it does not compose with deepcache/tome/cfg_interval/unroll"
+            )
+        traj = jnp.zeros((S, B, h, w, 4), jnp.float32)
 
     if deepcache_interval > 1:
 
@@ -273,7 +294,15 @@ def sample(
 
         body = _ddpm_body(unet_eps)
 
-        if cfg_interval is not None:
+        if return_trajectory:
+
+            def body_traj(i, carry):
+                x, traj = carry
+                x2 = body(i, x)
+                return x2, jax.lax.dynamic_update_index_in_dim(traj, x2, i, 0)
+
+            x, traj = jax.lax.fori_loop(0, S, body_traj, (x, traj))
+        elif cfg_interval is not None:
             # static segments: [0,i0) and [i1,S) run cond-only at half batch
             body_c = _ddpm_body(unet_eps_cond_only)
             x = jax.lax.fori_loop(0, i0, body_c, x)
@@ -339,7 +368,18 @@ def sample(
                 return body
 
             body = _dpm_body(unet_eps)
-            if cfg_interval is not None:
+            if return_trajectory:
+
+                def body_traj(i, carry):
+                    state, traj = carry
+                    state2 = body(i, state)
+                    return state2, jax.lax.dynamic_update_index_in_dim(
+                        traj, state2[0], i, 0
+                    )
+
+                state, traj = jax.lax.fori_loop(0, S, body_traj, (state, traj))
+                x = state[0]
+            elif cfg_interval is not None:
                 body_c = _dpm_body(unet_eps_cond_only)
                 state = jax.lax.fori_loop(0, i0, body_c, state)
                 state = jax.lax.fori_loop(i0, i1, body, state)
@@ -363,7 +403,10 @@ def sample(
         ).reshape(B, height, width, 3)
     else:
         images = vae.decode(params["vae"], x, models.vae_cfg, policy=policy)
-    return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+    images = jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+    if return_trajectory:
+        return images, traj
+    return images
 
 
 @functools.partial(_options_jit, static_argnames=("S", "h", "w"))

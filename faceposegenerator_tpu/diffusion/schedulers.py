@@ -2,7 +2,7 @@
 
 The reference consumes diffusers' `DDPMScheduler` (training + inference —
 `train_ID-Booth.py:630,1007-1018,1081`; `inference_ID-Booth.py:104`) and
-`DPMSolverMultistepScheduler` (validation sampling — `train_ID-Booth.py:147`).
+`DPMSolverMultistepScheduler` (validation sampling — `train_ID-Booth.py:155`).
 Those are stateful Python objects; under XLA the idiomatic design is a frozen
 table-of-constants (betas, alphas_cumprod, per-step timesteps) captured at
 trace time plus pure `step(state, ...) -> state` functions that run inside
@@ -249,7 +249,7 @@ def make_ddpm(
 class DPMSolverSchedule:
     """DPM-Solver++ 2M: tables indexed by step position, state = (x, m0, m1).
 
-    Used for validation sampling in the reference (`train_ID-Booth.py:147`,
+    Used for validation sampling in the reference (`train_ID-Booth.py:155`,
     `log_validation`). Deterministic (no noise injection), so state is just
     the sample and the last two data predictions.
     """
@@ -323,7 +323,7 @@ def make_dpm_solver(
 ) -> DPMSolverSchedule:
     """`timestep_spacing=None` resolves to "linspace" — the
     `DPMSolverMultistepScheduler` class default, which is what the
-    reference's validation run gets (`train_ID-Booth.py:147` builds the DPM
+    reference's validation run gets (`train_ID-Booth.py:155` builds the DPM
     scheduler `from_config` of the SD2.1 scheduler config, which carries no
     timestep_spacing key). Pass a spacing explicitly to honor a checkpoint
     config that does define one."""

@@ -30,7 +30,7 @@ Mode specs are composable strings (the CLI surface):
     attn=flash_int8      int8 attention core (SageAttention-style packed
                          d=64 kernel, ops/flash_attention.py)
     scheduler=dpm:20     DPM-Solver++ at 20 steps (the reference's own
-                         validation sampler, train_ID-Booth.py:147);
+                         validation sampler, train_ID-Booth.py:155);
                          bare "dpm" keeps the report's step count
     deepcache=3+cfg_interval=5:20+quantize=w8a8     composition
 """

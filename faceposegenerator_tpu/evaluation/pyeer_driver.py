@@ -96,32 +96,61 @@ def analyse(
     return results
 
 
+# pyeer's report column order/names (`pyeer_scripts/report.py:585-591`
+# `generate_csv_eer_report`), mapped to EERStats field names; our extra
+# fields (FDR, the FNMR-side operating points) append after.
+_PYEER_COLUMNS = [
+    ("GMean", "gmean"), ("GSTD", "gstd"), ("IMean", "imean"), ("ISTD", "istd"),
+    ("Sensitivity index (d')", "decidability"), ("AUC", "auc"),
+    ("J-Index", "j_index"), ("J-Index_TH", "j_index_th"),
+    ("MCC", "mccoef"), ("MCC_TH", "mccoef_th"),
+    ("EERlow", "eer_low"), ("EERhigh", "eer_high"), ("EER", "eer"),
+    ("ZeroFMR", "fmr0"), ("FMR1000", "fmr1000"), ("FMR100", "fmr100"),
+    ("FMR20", "fmr20"), ("FMR10", "fmr10"), ("ZeroFNMR", "fnmr0"),
+    ("EER_TH", "eer_th"), ("ZeroFMR_TH", "fmr0_th"),
+    ("FMR1000_TH", "fmr1000_th"), ("FMR100_TH", "fmr100_th"),
+    ("FMR20_TH", "fmr20_th"), ("FMR10_TH", "fmr10_th"),
+    ("ZeroFNMR_TH", "fnmr0_th"),
+]
+
+
+def _report_columns(stats: Dict) -> list:
+    """(header, field) pairs: pyeer's columns first, then any extra fields
+    the stats dict carries (fdr, fnmr100, ...)."""
+    cols = [(h, k) for h, k in _PYEER_COLUMNS if k in stats]
+    known = {k for _, k in cols}
+    cols += [(k.upper(), k) for k in sorted(stats) if k not in known]
+    return cols
+
+
 def write_csv_report(results: Dict, path: str):
-    """pyeer-style CSV report writer (one row per config)."""
+    """pyeer-layout CSV report (`generate_csv_eer_report`): one row per
+    experiment under the reference's exact column header."""
     if not results:
         return
-    keys = sorted(next(iter(results.values())).keys())
+    cols = _report_columns(next(iter(results.values())))
     with open(path, "w") as f:
-        f.write("config," + ",".join(keys) + "\n")
+        f.write("Experiment ID," + ",".join(h for h, _ in cols) + "\n")
         for cfg_name, stats in results.items():
-            f.write(cfg_name + "," + ",".join(f"{stats[k]:.6f}" for k in keys) + "\n")
+            f.write(cfg_name + "," + ",".join(f"{stats[k]:.6f}" for _, k in cols) + "\n")
 
 
 def write_html_report(results: Dict, path: str, title: str = "EER report"):
-    """Minimal pyeer-style HTML report (`pyeer_scripts/report` surface)."""
+    """pyeer-style HTML report (`generate_html_eer_report` surface): one
+    stats table per experiment under the reference's column names."""
     if not results:
         return
-    keys = sorted(next(iter(results.values())).keys())
+    cols = _report_columns(next(iter(results.values())))
     rows = "".join(
         "<tr><td>{}</td>{}</tr>".format(
-            name, "".join(f"<td>{stats[k]:.6f}</td>" for k in keys)
+            name, "".join(f"<td>{stats[k]:.6f}</td>" for _, k in cols)
         )
         for name, stats in results.items()
     )
     html = (
         f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"
-        "<table border='1'><tr><th>config</th>"
-        + "".join(f"<th>{k}</th>" for k in keys)
+        "<table border='1'><tr><th>Experiment ID</th>"
+        + "".join(f"<th>{h}</th>" for h, _ in cols)
         + f"</tr>{rows}</table></body></html>"
     )
     with open(path, "w") as f:

@@ -111,7 +111,8 @@ class StableDiffusionPipeline:
 
     def set_scheduler(self, kind: str):
         """Swap DDPM ↔ DPM-Solver++ (`pipe.scheduler = DDPMScheduler...`)."""
-        assert kind in ("ddpm", "dpm")
+        if kind not in ("ddpm", "dpm"):
+            raise ValueError(f"unknown scheduler {kind!r} (only 'ddpm'/'dpm')")
         self.scheduler_kind = kind
 
     def load_lora_weights(self, path_or_dir: str, scale: float = 1.0):

@@ -210,3 +210,32 @@ def test_generate_cli_streaming_eval(tmp_path):
     assert stats["global"]["count"] == 6
     assert set(stats["per_id"]) == {f"{v}/0" for v in ("DreamBooth", "PortraitBooth", "ID-Booth")}
     assert os.path.exists(os.path.join(out, "ID-Booth", "0", "0_000.png"))
+
+
+def test_parity_full_chain_leg(tmp_path):
+    """--full_chain (VERDICT r3 #2): the jitted sampler vs an all-torch
+    CLIP→UNet→DDPM→VAE loop, per scheduler step, off the same tiny
+    checkpoint directory — the leg the real-weights runbook executes."""
+    model_dir = str(tmp_path / "sd")
+    os.makedirs(model_dir)
+    _write_tiny_model_dir(model_dir)
+    out = str(tmp_path / "verdict.json")
+    rc = main(
+        [
+            "parity",
+            "--model_dir", model_dir,
+            "--steps", "3",
+            "--resolution", "64",
+            "--full_chain",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    verdict = json.load(open(out))
+    chain = verdict["full_chain"]
+    assert chain["pass"] is True, chain
+    assert len(chain["latent_max_abs_per_step"]) == 3
+    assert chain["latent_max_abs"] < 5e-3
+    assert chain["image_max_abs"] < 5e-3
+    assert chain["text_missing_keys"] == 0
+    assert verdict["pass"] is True, verdict
