@@ -618,11 +618,13 @@ def bench_serve(batch: int, steps: int, repeats: int):
     if rolling:
         from faceposegenerator_tpu.serving import RollingServer
 
-        if sched_kind != "ddpm" or dc > 1 or cfg_interval is not None:
-            raise SystemExit("BENCH_ROLLING composes only with BENCH_QUANT "
-                             "(the rolling tick is ddpm-exact)")
+        if dc > 1 or cfg_interval is not None:
+            raise SystemExit("BENCH_ROLLING composes with BENCH_QUANT and "
+                             "BENCH_SCHEDULER only (per-slot state is "
+                             "exact-scheduler-shaped)")
         server = RollingServer(
             pipe, batch_size=batch, max_wait_s=0.2, num_inference_steps=steps,
+            scheduler=sched_kind,
         )
     else:
         server = SamplerServer(

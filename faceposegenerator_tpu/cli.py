@@ -759,11 +759,17 @@ def cmd_parity(argv):
     params = load_sd21_params(args.model_dir)
 
     tok_dir = os.path.join(args.model_dir, "tokenizer")
+    ids = None
     if os.path.exists(os.path.join(tok_dir, "vocab.json")):
         tok = CLIPTokenizer.from_pretrained(tok_dir)
         ids = jnp.asarray(tok([args.prompt]))
         neg = jnp.asarray(tok([args.negative_prompt]))
-    else:  # tokenizer-less checkpoints: deterministic ids
+        if int(ids.max()) >= text_cfg.vocab_size:
+            # mismatched tokenizer (e.g. a test checkpoint with a tiny text
+            # encoder): JAX clamps out-of-range gathers but torch raises —
+            # and the parity result would be meaningless either way
+            ids = None
+    if ids is None:  # tokenizer-less/mismatched checkpoints: deterministic ids
         rng = np.random.default_rng(args.seed)
         ids = jnp.asarray(rng.integers(0, text_cfg.vocab_size, (1, 77)))
         neg = jnp.zeros_like(ids)
@@ -882,6 +888,119 @@ def cmd_parity(argv):
     print(json.dumps(verdict))
 
 
+def cmd_parity_all(argv):
+    """Day-one real-weights runbook (VERDICT r3 #9): ONE command that runs
+    every parity leg + the preset quality reports off one weights directory
+    and emits ONE verdict JSON. Layout under --weights_root (any subset;
+    present pieces run, absent ones are listed as skipped):
+
+        sd/            diffusers-format SD directory (CLIP/UNet/VAE +
+                       full-chain per-step legs; tokenizer/ enables real
+                       prompts)
+        lora/          optional LoRA checkpoint dir for the quality reports
+        arcface.pth    ArcFace iresnet weights (identity leg + the
+                       accel-report identity-cosine rows)
+        mtcnn/ | mtcnn.pt   facenet-pytorch MTCNN weights
+
+    The quality gate: each preset's accel-report must clear --min_psnr /
+    --min_identity_cos (identity rows need arcface.pth)."""
+    ap = argparse.ArgumentParser(prog="parity-all")
+    ap.add_argument("--weights_root", required=True)
+    ap.add_argument("--output", default="parity_all_verdict.json")
+    ap.add_argument("--steps", type=int, default=30,
+                    help="denoise steps for the per-step parity legs")
+    ap.add_argument("--report_steps", type=int, default=30,
+                    help="exact-baseline steps for the preset quality "
+                         "reports (the product op point; presets override "
+                         "their own scheduler/steps via their mode spec)")
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--arcface_network", default="r100")
+    ap.add_argument("--report_prompts", action="append", default=[],
+                    help="accel-report prompts (default: one face portrait)")
+    ap.add_argument("--min_psnr", type=float, default=25.0,
+                    help="quality gate: preset mean PSNR vs exact (dB)")
+    ap.add_argument("--min_identity_cos", type=float, default=0.90,
+                    help="quality gate: preset mean ArcFace cosine vs exact")
+    args = ap.parse_args(argv)
+
+    import tempfile
+
+    root = args.weights_root
+    sd_dir = os.path.join(root, "sd")
+    lora_dir = os.path.join(root, "lora")
+    arcface = os.path.join(root, "arcface.pth")
+    mtcnn = next(
+        (p for p in (os.path.join(root, "mtcnn"), os.path.join(root, "mtcnn.pt"))
+         if os.path.exists(p)), None,
+    )
+    verdict = {"weights_root": root, "skipped": [], "legs": {}}
+    passes = []
+
+    parity_args = ["--steps", str(args.steps), "--resolution", str(args.resolution)]
+    if os.path.isdir(sd_dir):
+        parity_args += ["--model_dir", sd_dir, "--full_chain"]
+    else:
+        verdict["skipped"].append("sd (no sd/ dir)")
+    if os.path.exists(arcface):
+        parity_args += ["--arcface_pth", arcface,
+                        "--arcface_network", args.arcface_network]
+    else:
+        verdict["skipped"].append("arcface (no arcface.pth)")
+    if mtcnn:
+        parity_args += ["--mtcnn", mtcnn]
+    else:
+        verdict["skipped"].append("mtcnn (no mtcnn/ or mtcnn.pt)")
+
+    with tempfile.TemporaryDirectory() as td:
+        if len(parity_args) > 2:
+            out = os.path.join(td, "parity.json")
+            cmd_parity(parity_args + ["--output", out])
+            leg = json.load(open(out))
+            verdict["legs"]["parity"] = leg
+            passes.append(leg["pass"])
+
+        if os.path.isdir(sd_dir):
+            # quality gate: every shipped preset measured on THESE weights
+            from .pipelines.presets import PRESETS
+
+            rep_args = ["--model_dir", sd_dir, "--steps", str(args.report_steps),
+                        "--height", str(args.resolution),
+                        "--width", str(args.resolution)]
+            for name in sorted(PRESETS):
+                rep_args += ["--preset", name]
+            if os.path.isdir(lora_dir):
+                rep_args += ["--lora_dir", lora_dir]
+            if os.path.exists(arcface):
+                rep_args += ["--arcface_pth", arcface,
+                             "--arcface_network", args.arcface_network]
+            for p in args.report_prompts:
+                rep_args += ["--prompt", p]
+            out = os.path.join(td, "report.json")
+            cmd_accel_report(rep_args + ["--output", out])
+            rep = json.load(open(out))
+            gates = {}
+            for name in sorted(PRESETS):
+                spec = PRESETS[name].mode_spec()
+                m = rep["modes"][spec]
+                ok = (m["psnr_mean"] is None  # bit-identical: trivially ok
+                      or m["psnr_mean"] >= args.min_psnr)
+                if "identity_cos_mean" in m:
+                    ok = ok and m["identity_cos_mean"] >= args.min_identity_cos
+                gates[name] = {"mode": spec, "pass": bool(ok),
+                               "psnr_mean": m["psnr_mean"],
+                               "identity_cos_mean": m.get("identity_cos_mean")}
+                passes.append(bool(ok))
+            verdict["legs"]["preset_quality"] = {"gates": gates, "report": rep}
+
+    if not passes:
+        raise SystemExit(f"nothing to run under {root} (see layout in --help)")
+    verdict["pass"] = bool(all(passes))
+    with open(args.output, "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps({k: v for k, v in verdict.items() if k != "legs"}
+                     | {"legs": list(verdict["legs"])}))
+
+
 def cmd_serve(argv):
     """Serving: fixed-shape batching HTTP server over the jitted sampler
     (see serving/engine.py). LoRA checkpoints are registered at startup as
@@ -981,8 +1100,9 @@ def cmd_serve(argv):
 
         preset = get_preset(args.preset)
         if args.rolling:
-            ap.error("--preset does not compose with --rolling (the rolling "
-                     "tick is ddpm-exact; use --quantize there instead)")
+            ap.error("--preset does not compose with --rolling (DeepCache "
+                     "state is step-synchronized across slots; rolling "
+                     "composes with --quantize and --scheduler dpm instead)")
         _reject_preset_conflicts(
             ap, args,
             dict(deepcache=1, tome=0.0, cfg_interval=None, quantize=None,
@@ -1124,6 +1244,7 @@ def cmd_accel_report(argv):
 
 COMMANDS = {
     "parity": cmd_parity,
+    "parity-all": cmd_parity_all,
     "serve": cmd_serve,
     "train-idbooth": cmd_train_idbooth,
     "generate": cmd_generate,

@@ -21,11 +21,13 @@ Measured anchors (v5e-lite single chip, exact default 2.086 img/s,
 exact batch-1 latency 0.608 s):
 
   turbo    throughput stack — DPM-Solver++ 20 steps x DeepCache-3 x
-           w8a8 int8 UNet (static act scales) x int8 VAE decode body.
-           4.768 img/s without the VAE leg (`perf/r3at_queue.jsonl`
-           dpm20_quant_static_dc3); the full cross including the VAE leg
-           and the cfg-interval variants is measured in
-           `perf/r4a_queue.jsonl`.
+           guidance interval (3,13) x w8a8 int8 UNet (static act scales)
+           x int8 VAE decode body. The full cross measured
+           **6.254 img/s (3.00x exact)** in `perf/r4a_queue.jsonl`
+           (turbo_cross_civ_3_13; the proportional interval beat the
+           30-step-tuned (5,20): 5.377, and no-interval: 4.962;
+           4.768 was the round-3 best without the VAE/interval legs,
+           `perf/r3at_queue.jsonl`).
   latency  batch-1 stack — 30-step DDPM x DeepCache-3 x guidance
            interval (5,20), bf16 (quantization is a THROUGHPUT lever:
            batch-1 w8a8 measured negative-to-neutral, perf/r3as).
@@ -126,11 +128,13 @@ PRESETS: Dict[str, Preset] = {
         scheduler="dpm",
         steps=20,
         deepcache_interval=3,
+        cfg_interval=(3, 13),
         quantize="w8a8+vae",
         quant_calibrate_steps=8,
-        note="throughput champion: DPM++(20) x DeepCache-3 x static-w8a8 "
-             "x int8-VAE; 4.768 img/s measured without the VAE leg "
-             "(2.29x the 2.086 exact default, perf/r3at_queue.jsonl)",
+        note="throughput champion: DPM++(20) x DeepCache-3 x "
+             "cfg_interval(3,13) x static-w8a8 x int8-VAE; 6.254 img/s "
+             "measured (3.00x the 2.086 exact default, "
+             "perf/r4a_queue.jsonl turbo_cross_civ_3_13)",
     ),
     "latency": Preset(
         name="latency",

@@ -45,11 +45,13 @@ No reference equivalent: the reference generates one image at a time and
 reloads the pipeline per identity (`inference_ID-Booth.py:103-144`).
 Approximation modes (DeepCache/ToMe/cfg_interval) are NOT composable with
 rolling slots (their state is step-synchronized across the batch);
-quantization composes (it is param-side) via `pipe.quantize`, and a
-`jax.sharding.Mesh` composes data-parallel: the persistent slot buffers
-shard over the "data" axis (`_place`), params/stacked adapters replicate
-(base class), and every tick is one SPMD program — CPU-mesh parity test
-in tests/test_rolling.py.
+quantization composes (it is param-side) via `pipe.quantize`; the
+few-step DPM-Solver++ scheduler composes via per-slot multistep history
+buffers (`_tick_dpm` — the reference's own validation sampler,
+`train_ID-Booth.py:155`); and a `jax.sharding.Mesh` composes
+data-parallel: the persistent slot buffers shard over the "data" axis
+(`_place`), params/stacked adapters replicate (base class), and every
+tick is one SPMD program — CPU-mesh parity test in tests/test_rolling.py.
 """
 
 from __future__ import annotations
@@ -148,6 +150,67 @@ def _tick(
     return latents, jnp.where(live, step_idx + 1, step_idx)
 
 
+@functools.partial(
+    _options_jit,
+    tpu_default_options={"xla_tpu_enable_experimental_fusion_cost_model": "true"},
+    static_argnames=("models", "guidance_scale", "policy", "S"),
+)
+def _tick_dpm(
+    params, schedule, latents, m0, m1, step_idx, ctx_buf,
+    lora, lora_scale, *, models, guidance_scale, policy, S,
+):
+    """One DPM-Solver++ 2M step for every live slot — the few-step
+    scheduler (the reference's own validation sampler,
+    `train_ID-Booth.py:155`) on the rolling path.
+
+    Per-slot multistep state: `m0`/`m1` are the (B, h, w, 4) data-
+    prediction history buffers; a slot's warm-up counter IS its step index
+    (the sequential sampler's `prev_count` increments exactly once per
+    step from 0 — `diffusion/schedulers.py DPMSolverSchedule.step`), so no
+    extra counter buffer. Stale history from a slot's previous occupant
+    cannot leak: step 0 takes the first-order branch (prev_count < 1)
+    which never reads m0, and order-2 never reads m1 — step 0 then
+    overwrites m0 with the fresh x̂0. Deterministic (no per-step noise).
+    Returns (latents, m0, m1, step_idx) advanced.
+    """
+    B = latents.shape[0]
+    safe_idx = jnp.clip(step_idx, 0, S - 1)
+    t = schedule.timesteps[safe_idx]
+
+    unet_lora = None if lora is None else lora.get("unet")
+    scale2 = lora_scale
+    if unet_lora is not None:
+        leaves = jax.tree.leaves(unet_lora)
+        if leaves and leaves[0].ndim == 3:
+            unet_lora = jax.tree.map(
+                lambda l: jnp.concatenate([l, l], axis=0), unet_lora
+            )
+            if isinstance(lora_scale, jax.Array) and lora_scale.ndim == 1:
+                scale2 = jnp.concatenate([lora_scale, lora_scale], axis=0)
+
+    lat2 = jnp.concatenate([latents, latents], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    eps = unet2d.apply(
+        params["unet"], lat2, t2, ctx_buf, models.unet_cfg, policy=policy,
+        lora=unet_lora, lora_scale=scale2, attn_impl=models.attn_impl,
+    )
+    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+    eps = eps_u + guidance_scale * (eps_c - eps_u)
+
+    def one(e, i, x, a, b):
+        (x_new, a_new, b_new, _), _ = schedule.step(e, i, (x, a, b, i))
+        return x_new, a_new, b_new
+
+    x_new, m0_new, m1_new = jax.vmap(one)(eps, safe_idx, latents, m0, m1)
+
+    live = step_idx < S
+    mask = live[:, None, None, None]
+    latents = jnp.where(mask, x_new, latents)
+    m0 = jnp.where(mask, m0_new, m0)
+    m1 = jnp.where(mask, m1_new, m1)
+    return latents, m0, m1, jnp.where(live, step_idx + 1, step_idx)
+
+
 @functools.partial(_options_jit, static_argnames=("models", "policy"))
 def _decode1(vae_params, latent, *, models, policy):
     """Decode ONE slot's latent (h, w, 4) -> (H, W, 3) uint8 on device."""
@@ -171,8 +234,8 @@ class RollingServer(SamplerServer):
                     "tome_ratio", "cfg_interval"):
             if kw.get(bad):
                 raise ValueError(f"{bad} is not composable with RollingServer")
-        if kw.get("scheduler", "ddpm") != "ddpm":
-            raise ValueError("RollingServer supports the ddpm scheduler")
+        # scheduler: "ddpm" (per-slot noise stream) or "dpm" (few-step
+        # DPM-Solver++ with per-slot multistep history — `_tick_dpm`)
         kw["multi_lora"] = True  # per-slot adapters by construction
         super().__init__(pipe, **kw)
 
@@ -218,6 +281,10 @@ class RollingServer(SamplerServer):
             noise_buf = self._place(jnp.zeros((S + 1, B, h, w, 4), jnp.float32), batch_dim=1)
             latents = self._place(jnp.zeros((B, h, w, 4), jnp.float32))
             step_dev = self._place(jnp.full((B,), S, jnp.int32))
+            dpm = self.scheduler == "dpm"
+            if dpm:  # per-slot DPM-Solver++ data-prediction history
+                m0 = self._place(jnp.zeros((B, h, w, 4), jnp.float32))
+                m1 = self._place(jnp.zeros((B, h, w, 4), jnp.float32))
 
             while not self._stop.is_set():
                 # --- admit into free slots --------------------------------
@@ -258,11 +325,18 @@ class RollingServer(SamplerServer):
                     tuple(m[0].lora_id if m else None for m in meta)
                 )
                 t0 = time.perf_counter()
-                latents, step_dev = _tick(
-                    self._params, self._schedule, latents, step_dev,
-                    ctx_buf, noise_buf, lora_tree, lora_scale,
-                    guidance_scale=self.guidance_scale, **static,
-                )
+                if dpm:
+                    latents, m0, m1, step_dev = _tick_dpm(
+                        self._params, self._schedule, latents, m0, m1,
+                        step_dev, ctx_buf, lora_tree, lora_scale,
+                        guidance_scale=self.guidance_scale, **static,
+                    )
+                else:
+                    latents, step_dev = _tick(
+                        self._params, self._schedule, latents, step_dev,
+                        ctx_buf, noise_buf, lora_tree, lora_scale,
+                        guidance_scale=self.guidance_scale, **static,
+                    )
                 with self._stats_lock:
                     self._stats["batches"] += 1  # = ticks
                     self._stats["batch_sizes"].append(

@@ -275,3 +275,63 @@ def test_sweep_vmapped_grouping(tmp_path):
     for name in ("id_1", "id_2", "id_3"):
         files = os.listdir(tmp_path / "out" / "ID-Booth" / name)
         assert "pytorch_lora_weights.safetensors" in files
+
+
+def test_identity_vmap_composes_with_mesh_dp():
+    """VERDICT r3 #7: MORE identities than devices — K=8 sharded over a
+    4-device "data" mesh runs vmap(2) per device. Per-identity losses must
+    equal the single-device vmapped step's (which itself equals serial runs
+    — test_multi_step_matches_independent_runs), so the sweep scales past
+    the measured per-chip vmap ceiling (K=4 on v5e, STATUS.md) by adding
+    chips, zero collectives."""
+    from faceposegenerator_tpu.core.mesh import make_mesh, replicate
+
+    K, n_dev = 8, 4
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=64)
+    frozen = _frozen()
+    opt = idbooth.make_optimizer(cfg, total_steps=4)
+    t0 = idbooth.init_trainable(jax.random.key(cfg.seed), cfg, TINY, frozen["unet"])
+    o0 = opt.init(t0)
+
+    multi = multi_identity.make_multi_train_step(
+        cfg, TINY, opt, policy=PARITY_POLICY, donate=False
+    )
+    ts = multi_identity.stack_pytrees([t0] * K)
+    os_ = multi_identity.stack_pytrees([o0] * K)
+    bs = multi_identity.stack_pytrees([_batch(300 + 3 * i) for i in range(K)])
+    ks = jnp.stack([jax.random.key(70 + i) for i in range(K)])
+    t_ref, _, m_ref = multi(ts, os_, frozen, bs, ks)
+
+    mesh = make_mesh(data=n_dev, devices=jax.devices()[:n_dev])
+    shard = lambda t: multi_identity.shard_identity_axis(mesh, t)
+    t_s, _, m_s = multi(
+        shard(ts), shard(os_), replicate(mesh, frozen), shard(bs), shard(ks)
+    )
+
+    # rtol: with 2 lanes per device XLA partitions/fuses the program
+    # differently than the single-device vmap(8), so fp32 reductions
+    # reassociate — numeric jitter, not cross-talk. (A tight param-level
+    # sharded-vs-unsharded comparison is NOT meaningful here: the LoRA-B
+    # grad is a cancellation-heavy sum whose fp32 value genuinely shifts
+    # under re-partitioning, and Adam's normalized update amplifies the
+    # exact-zero LoRA-A grads' ±1e-12 jitter to full ±lr sign flips. The
+    # bit-exact no-cross-talk check below is the real invariant; vmap ==
+    # serial is pinned tightly by test_multi_step_matches_independent_runs.)
+    np.testing.assert_allclose(
+        np.asarray(m_s["loss"]), np.asarray(m_ref["loss"]), rtol=5e-4
+    )
+    leaf = jax.tree.leaves(t_s)[0]
+    assert len(leaf.sharding.device_set) == n_dev  # 2 identities per device
+
+    # no cross-talk, asserted bit-exactly WITHIN the sharded program: rerun
+    # with lane 0's batch replaced — the same compiled executable is
+    # deterministic per lane, so lanes 1..K-1 must be bit-identical and
+    # lane 0 must move.
+    b_new = _batch(999)
+    bs2 = jax.tree.map(lambda s, n: s.at[0].set(n), bs, b_new)
+    t_s2, _, m_s2 = multi(
+        shard(ts), shard(os_), replicate(mesh, frozen), shard(bs2), shard(ks)
+    )
+    assert float(m_s2["loss"][0]) != float(m_s["loss"][0])
+    for a, b in zip(jax.tree.leaves(t_s), jax.tree.leaves(t_s2)):
+        np.testing.assert_array_equal(np.asarray(a)[1:], np.asarray(b)[1:])

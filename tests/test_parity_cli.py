@@ -239,3 +239,46 @@ def test_parity_full_chain_leg(tmp_path):
     assert chain["image_max_abs"] < 5e-3
     assert chain["text_missing_keys"] == 0
     assert verdict["pass"] is True, verdict
+
+
+def test_parity_all_runbook(tmp_path):
+    """`cli parity-all` (VERDICT r3 #9): ONE command off one weights root
+    runs every available leg + the preset quality reports and emits one
+    verdict JSON; absent pieces are listed as skipped, not errors."""
+    root = tmp_path / "weights"
+    sd = root / "sd"
+    os.makedirs(sd)
+    _write_tiny_model_dir(str(sd))
+    # tokenizer so the report runs real prompts
+    from faceposegenerator_tpu.data.tokenizer import bytes_to_unicode
+
+    tok = sd / "tokenizer"
+    os.makedirs(tok)
+    units = list(bytes_to_unicode().values())
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for u in units:
+        vocab.setdefault(u, len(vocab))
+        vocab.setdefault(u + "</w>", len(vocab))
+    with open(tok / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(tok / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+
+    out = str(tmp_path / "verdict.json")
+    rc = main([
+        "parity-all", "--weights_root", str(root),
+        "--steps", "3", "--report_steps", "21", "--resolution", "64",
+        "--min_psnr", "5.0",  # random tiny weights: gate only sanity here
+        "--output", out,
+    ])
+    assert rc == 0
+    verdict = json.load(open(out))
+    assert set(verdict["legs"]) == {"parity", "preset_quality"}
+    assert verdict["legs"]["parity"]["full_chain"]["pass"] is True
+    gates = verdict["legs"]["preset_quality"]["gates"]
+    assert set(gates) == {"turbo", "latency"}
+    for g in gates.values():
+        assert g["psnr_mean"] is None or g["psnr_mean"] > 0
+    assert any("arcface" in s for s in verdict["skipped"])
+    assert any("mtcnn" in s for s in verdict["skipped"])
+    assert isinstance(verdict["pass"], bool)

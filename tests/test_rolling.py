@@ -223,3 +223,40 @@ def test_http_api_over_rolling_server():
     finally:
         httpd.shutdown()
         srv.shutdown()
+
+
+def test_dpm_rolling_matches_batch_engine():
+    """VERDICT r3 #8: the few-step DPM-Solver++ scheduler on the rolling
+    path. A (prompt, seed) request's image must equal the classic batch
+    engine's dpm result (same noise stream seeds the initial latent; the
+    multistep history is per-slot), including requests admitted mid-flight
+    whose slot inherits a previous occupant's stale m0/m1 — the warm-up
+    first-order branch masks it by construction (`_tick_dpm` docstring)."""
+    pipe = _pipe()
+    kw = dict(KW, scheduler="dpm", num_inference_steps=4)
+    classic = SamplerServer(pipe, **kw)
+    rolling = RollingServer(pipe, **kw)
+    try:
+        lora = _rand_lora(classic)
+        classic.register_lora("idA", lora)
+        rolling.register_lora("idA", lora)
+        reqs = [
+            GenerationRequest(prompt="a face portrait", seed=5),
+            GenerationRequest(prompt="another person", seed=9, lora_id="idA"),
+            GenerationRequest(prompt="third subject", seed=2),
+            # 4th request queues behind the 3 slots -> admits MID-FLIGHT
+            # into a freed slot whose m0/m1 hold the previous occupant's
+            # final history
+            GenerationRequest(prompt="fourth subject", seed=7, lora_id="idA"),
+        ]
+        want = [classic.generate([r])[0] for r in reqs]
+        futs = [rolling.submit(r) for r in reqs]
+        got = [f.result(timeout=600) for f in futs]
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(
+                g.image.astype(np.int32), w.image.astype(np.int32), atol=1,
+            )
+        assert rolling.stats()["requests"] == 4
+    finally:
+        classic.shutdown()
+        rolling.shutdown()
