@@ -19,3 +19,31 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# -- slow-tier marking (VERDICT r3 #3) ---------------------------------------
+# tests/slow_tests.json is GENERATED from a measured per-file timing run
+# (perf/gen_slow_tier.py): every test whose call time was >= the recorded
+# threshold on the 1-CPU host carries the 'slow' marker, applied here at
+# collection so test files stay unmarked and the tier regenerates from fresh
+# timing data. `make smoke` == `pytest -m "not slow"`.
+
+import json  # noqa: E402
+
+import pytest  # noqa: E402
+
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.json")
+try:
+    with open(_SLOW_FILE) as _f:
+        _SLOW_IDS = set(json.load(_f)["slow"])
+except (OSError, KeyError, ValueError):
+    _SLOW_IDS = set()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
