@@ -87,6 +87,12 @@ def exact_path_context(value_img_s: float, is_exact_default: bool) -> dict:
     if is_exact_default and peak == 197:
         ctx["exact_path_bound_img_s"] = EXACT_BOUND_V5E_IMG_S
         ctx["frac_of_exact_bound"] = round(value_img_s / EXACT_BOUND_V5E_IMG_S, 3)
+        # the default line measures the EXACT path; the opt-in quality-gated
+        # presets were measured separately (same chip, 5-repeat) — recorded
+        # here so one JSON line carries the whole picture
+        ctx["preset_turbo_measured_img_s"] = 6.254  # perf/r4a_queue.jsonl
+        ctx["preset_latency_measured_s_per_img"] = 0.364  # perf/r3as_queue.jsonl
+        ctx["presets"] = "BENCH_PRESET=turbo|latency re-measures (pipelines/presets.py)"
     return ctx
 
 
