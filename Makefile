@@ -10,7 +10,7 @@
 PY ?= python
 WEIGHTS ?= /weights
 
-.PHONY: parity smoke test bench dryrun
+.PHONY: parity smoke test bench dryrun pod-rehearsal
 
 parity:
 	$(PY) -m faceposegenerator_tpu.cli parity-all --weights_root $(WEIGHTS) \
@@ -31,3 +31,8 @@ dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 	$(PY) -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# real multi-PROCESS pod-launch rehearsal (separate OS processes +
+# jax.distributed coordinator + Gloo collectives), CPU backend
+pod-rehearsal:
+	$(PY) -m faceposegenerator_tpu.cli pod-rehearsal --processes 2 --local_devices 2

@@ -75,6 +75,10 @@ def cmd_train_idbooth(argv):
 
     import jax
 
+    from .core.dist import maybe_init_from_env
+
+    maybe_init_from_env()  # multi-host launch opt-in via FPG_* env (no-op otherwise)
+
     from .bridge.torch_weights import (
         convert_iresnet_state_dict,
         load_sd21_params,
@@ -411,6 +415,10 @@ def cmd_train_fr(argv):
     ap.add_argument("--augment", default="hf")
     ap.add_argument("--val_bin", action="append", default=[], help="name=path.bin")
     args = ap.parse_args(argv)
+
+    from .core.dist import maybe_init_from_env
+
+    maybe_init_from_env()  # multi-host launch opt-in via FPG_* env (no-op otherwise)
 
     from .data.augment import get_aug_policy
     from .data.fr_dataset import FlatDirDataset
@@ -1242,8 +1250,22 @@ def cmd_accel_report(argv):
             f.write(out)
 
 
+def cmd_pod_rehearsal(argv):
+    """Multi-process pod-launch rehearsal on the CPU backend — separate OS
+    processes + jax.distributed coordinator, the real-pod topology (see
+    parallel/pod_rehearsal.py). `cli pod-rehearsal --processes 2
+    --local_devices 2` proves bring-up, the sharded ID-Booth train step,
+    host-local loading, rank-0 checkpointing, and the DP sampler."""
+    from .parallel.pod_rehearsal import main as pod_main
+
+    rc = pod_main(argv)
+    if rc:
+        raise SystemExit(rc)
+
+
 COMMANDS = {
     "parity": cmd_parity,
+    "pod-rehearsal": cmd_pod_rehearsal,
     "parity-all": cmd_parity_all,
     "serve": cmd_serve,
     "train-idbooth": cmd_train_idbooth,

@@ -1,0 +1,142 @@
+"""Multi-host (pod) runtime initialization.
+
+The reference's multi-process story is implicit: HF Accelerate wraps the
+trainer and torch.distributed/NCCL is configured from the `LOCAL_RANK`
+env (`train_ID-Booth.py:226-228,511`; `FR_training/train_FR.py:64`), with
+rank-0 gating via `accelerator.is_main_process` (`train_ID-Booth.py:1181`)
+and a `wait_for_everyone()` barrier before the final export (`:1241`).
+
+The TPU-native equivalent is JAX's multi-controller model: every host runs
+the SAME program, `jax.distributed.initialize()` connects the processes
+(coordinator + N workers), and from then on `jax.devices()` is the GLOBAL
+device list — `core.mesh.make_mesh` lays the ("data", "model") mesh over
+it, each host loads only its `host_row_slice` of the batch, and
+`form_global_batch` assembles host-local rows into globally-sharded arrays
+with zero cross-host data movement. Collectives ride ICI/DCN via XLA; on
+the CPU backend (tests, the pod rehearsal) they ride Gloo.
+
+This module is the one place process topology is decided:
+
+- `init_distributed()` — idempotent `jax.distributed.initialize` wrapper.
+  On a real TPU pod, call it with no arguments (cluster auto-detection).
+  For the CPU rehearsal (and any explicit launch), pass coordinator
+  address + process counts or set FPG_COORDINATOR / FPG_NUM_PROCESSES /
+  FPG_PROCESS_ID.
+- `proc_info()` — (process_index, process_count, local/global devices).
+- `is_coordinator()` — rank-0 gate for checkpoint writes and logging,
+  the `accelerator.is_main_process` equivalent.
+- `barrier(name)` — `wait_for_everyone()` equivalent
+  (`multihost_utils.sync_global_devices`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+
+_INITIALIZED = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcInfo:
+    process_index: int
+    process_count: int
+    local_device_count: int
+    global_device_count: int
+
+    @property
+    def is_coordinator(self) -> bool:
+        return self.process_index == 0
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    platform: Optional[str] = None,
+) -> ProcInfo:
+    """Connect this process to the job. Idempotent: a second call returns
+    the current topology without re-initializing (single-process runs call
+    this too and get the trivial 1-process topology).
+
+    Args default from FPG_COORDINATOR / FPG_NUM_PROCESSES / FPG_PROCESS_ID
+    so one launcher can fan out identical worker command lines. With all
+    three absent this is a no-op on a single host and auto-detection on a
+    real TPU pod (where the TPU runtime supplies the topology).
+
+    `platform="cpu"` forces the CPU backend BEFORE backend init and
+    selects Gloo cross-process collectives — the pod-rehearsal path; the
+    container's sitecustomize pins the axon TPU platform, so plain env
+    vars are not enough (CLAUDE.md).
+    """
+    global _INITIALIZED
+    coordinator_address = coordinator_address or os.environ.get("FPG_COORDINATOR")
+    if num_processes is None and os.environ.get("FPG_NUM_PROCESSES"):
+        num_processes = int(os.environ["FPG_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("FPG_PROCESS_ID"):
+        process_id = int(os.environ["FPG_PROCESS_ID"])
+
+    if platform == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except RuntimeError:
+            pass  # backend already up; proc_info below reports what we got
+
+    if not _INITIALIZED:
+        if num_processes is not None and num_processes > 1:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif (coordinator_address is None and num_processes is None
+              and process_id is None and platform is None):
+            # real-pod path: cluster auto-detection. MUST happen before any
+            # backend touch (so no jax.devices()/default_backend() here);
+            # on a plain single host detection finds no cluster and raises —
+            # that simply means single-process.
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError):
+                pass
+        _INITIALIZED = True
+    return proc_info()
+
+
+def maybe_init_from_env() -> ProcInfo:
+    """Driver entry hook: initialize multi-process topology ONLY when a
+    launcher asked for it (FPG_COORDINATOR / FPG_NUM_PROCESSES set) — the
+    `LOCAL_RANK`-env pattern of the reference (`train_ID-Booth.py:226-228`)
+    without Accelerate. Single-host runs see a no-op, so every driver can
+    call this unconditionally first thing."""
+    if os.environ.get("FPG_COORDINATOR") or os.environ.get("FPG_NUM_PROCESSES"):
+        return init_distributed()
+    return proc_info()
+
+
+def proc_info() -> ProcInfo:
+    return ProcInfo(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        local_device_count=jax.local_device_count(),
+        global_device_count=jax.device_count(),
+    )
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "fpg_barrier") -> None:
+    """Block until every process reaches this point (the
+    `accelerator.wait_for_everyone()` equivalent, `train_ID-Booth.py:1241`).
+    No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
