@@ -20,14 +20,15 @@ preset is an explicit, named opt-in.
 Measured anchors (v5e-lite single chip, exact default 2.086 img/s,
 exact batch-1 latency 0.608 s):
 
-  turbo    throughput stack — DPM-Solver++ 20 steps x DeepCache-3 x
-           guidance interval (3,13) x w8a8 int8 UNet (static act scales)
-           x int8 VAE decode body. The full cross measured
-           **6.254 img/s (3.00x exact)** in `perf/r4a_queue.jsonl`
-           (turbo_cross_civ_3_13; the proportional interval beat the
-           30-step-tuned (5,20): 5.377, and no-interval: 4.962;
-           4.768 was the round-3 best without the VAE/interval legs,
-           `perf/r3at_queue.jsonl`).
+  turbo    throughput stack — DPM-Solver++ 15 steps x DeepCache-3 x
+           guidance interval (2,10) x w8a8 int8 UNet (static act scales)
+           x int8 VAE decode body. Measured **7.663 img/s (3.67x the
+           2.088 same-day exact control)** in `perf/r4d_queue.jsonl`,
+           with quality AT PARITY with the previous DPM-20 turbo on the
+           on-chip probe (18.26 vs 18.19 dB PSNR-vs-exact, same inputs,
+           `perf/r4i_quality.jsonl`) — the step frontier dominated every
+           other lever (dpm20 full cross: 6.254, `perf/r4a_queue.jsonl`;
+           4.768 was the round-3 best without the VAE/interval legs).
   latency  batch-1 stack — 30-step DDPM x DeepCache-3 x guidance
            interval (5,20), bf16 (quantization is a THROUGHPUT lever:
            batch-1 w8a8 measured negative-to-neutral, perf/r3as).
@@ -126,15 +127,17 @@ PRESETS: Dict[str, Preset] = {
     "turbo": Preset(
         name="turbo",
         scheduler="dpm",
-        steps=20,
+        steps=15,
         deepcache_interval=3,
-        cfg_interval=(3, 13),
+        cfg_interval=(2, 10),
         quantize="w8a8+vae",
         quant_calibrate_steps=8,
-        note="throughput champion: DPM++(20) x DeepCache-3 x "
-             "cfg_interval(3,13) x static-w8a8 x int8-VAE; 6.254 img/s "
-             "measured (3.00x the 2.086 exact default, "
-             "perf/r4a_queue.jsonl turbo_cross_civ_3_13)",
+        note="throughput champion: DPM++(15) x DeepCache-3 x "
+             "cfg_interval(2,10) x static-w8a8 x int8-VAE; 7.663 img/s "
+             "measured (3.67x the 2.088 same-day exact control, "
+             "perf/r4d_queue.jsonl dpm15_dc3_civ_quant; quality at parity "
+             "with the previous DPM-20 stack on the on-chip probe, "
+             "perf/r4i_quality.jsonl)",
     ),
     "latency": Preset(
         name="latency",

@@ -153,9 +153,11 @@ def test_bench_preset_env_expansion(monkeypatch):
     assert os.environ["BENCH_QUANT"] == p.quantize
     assert os.environ["BENCH_QUANT_ACT"] == "1.0"  # const static scales
 
-    # an explicitly-set knob env wins over the preset (setdefault)
-    monkeypatch.setenv("BENCH_STEPS", "15")
+    # an explicitly-set knob env wins over the preset (setdefault) — pick a
+    # step count distinct from the preset's so the assertion stays meaningful
+    override_steps = str(p.steps + 7)
+    monkeypatch.setenv("BENCH_STEPS", override_steps)
     monkeypatch.delenv("BENCH_SCHEDULER", raising=False)
     bench.apply_bench_preset("turbo")
-    assert os.environ["BENCH_STEPS"] == "15"
+    assert os.environ["BENCH_STEPS"] == override_steps
     assert os.environ["BENCH_SCHEDULER"] == p.scheduler
