@@ -39,6 +39,21 @@ import jax
 
 _INITIALIZED = False
 
+# Env vars whose presence means this host is part of a managed multi-host
+# job (GKE/GCE TPU pod, SLURM, OpenMPI). When any is set, a FAILED
+# auto-detection must surface — silently degrading to N independent
+# single-process jobs gives every host process_index 0, so all of them
+# pass the is_coordinator() gate and clobber each other's checkpoints
+# (ADVICE r4, medium).
+_POD_ENV_VARS = (
+    "TPU_WORKER_HOSTNAMES",   # GCE/GKE TPU pod metadata
+    "TPU_WORKER_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "CLOUD_TPU_TASK_ID",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class ProcInfo:
@@ -86,6 +101,31 @@ def init_distributed(
         except RuntimeError:
             pass  # backend already up; proc_info below reports what we got
 
+    # Partial launcher config is an error, not a silent single-process run
+    # (ADVICE r4, low): FPG_COORDINATOR set with FPG_NUM_PROCESSES unset
+    # (or =1) would otherwise take NEITHER branch below, mark the module
+    # initialized, and leave every host believing it is rank 0.
+    explicit = (coordinator_address, num_processes, process_id)
+    if any(v is not None for v in explicit):
+        if num_processes is None or (num_processes > 1 and (
+                coordinator_address is None or process_id is None)):
+            raise ValueError(
+                "partial multi-process configuration: coordinator_address="
+                f"{coordinator_address!r} num_processes={num_processes!r} "
+                f"process_id={process_id!r} — a multi-process launch needs "
+                "all three (FPG_COORDINATOR / FPG_NUM_PROCESSES / "
+                "FPG_PROCESS_ID); unset all of them for single-process or "
+                "real-pod auto-detection"
+            )
+        if num_processes == 1 and (coordinator_address is not None
+                                   or (process_id or 0) != 0):
+            raise ValueError(
+                "contradictory configuration: num_processes=1 with a "
+                f"coordinator_address={coordinator_address!r} / "
+                f"process_id={process_id!r} — did the launcher mean to set "
+                "FPG_NUM_PROCESSES?"
+            )
+
     if not _INITIALIZED:
         if num_processes is not None and num_processes > 1:
             jax.distributed.initialize(
@@ -98,11 +138,20 @@ def init_distributed(
             # real-pod path: cluster auto-detection. MUST happen before any
             # backend touch (so no jax.devices()/default_backend() here);
             # on a plain single host detection finds no cluster and raises —
-            # that simply means single-process.
+            # that simply means single-process. On a MANAGED pod host a
+            # failed bring-up must NOT degrade silently (ADVICE r4, medium).
             try:
                 jax.distributed.initialize()
-            except (ValueError, RuntimeError):
-                pass
+            except (ValueError, RuntimeError) as e:
+                pod_vars = [v for v in _POD_ENV_VARS if os.environ.get(v)]
+                if pod_vars:
+                    raise RuntimeError(
+                        "jax.distributed.initialize() auto-detection failed "
+                        f"on what looks like a managed pod host ({', '.join(pod_vars)} "
+                        "set). Refusing to continue single-process: every "
+                        "host would claim rank 0 and clobber shared "
+                        f"checkpoints. Underlying error: {e}"
+                    ) from e
         _INITIALIZED = True
     return proc_info()
 
@@ -129,6 +178,40 @@ def proc_info() -> ProcInfo:
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def coordination_barrier(name: str, timeout_s: float = 1200.0) -> None:
+    """Control-plane barrier through the coordination service — NO device
+    collective, no Gloo/ICI. Use it to align processes across large
+    bring-up skew BEFORE the first device collective: XLA's Gloo context
+    init has a fixed ~30 s key-value timeout, so if one process reaches a
+    collective while peers are still importing/compiling (minutes apart
+    under CPU contention), the whole job dies with "Gloo context
+    initialization failed: GetKeyValue() timed out" (measured: 4-process
+    rehearsal on the 1-core host). `barrier()` below cannot serve this
+    purpose — `sync_global_devices` IS a device collective. No-op
+    single-process."""
+    from jax._src import distributed as _distributed
+
+    client = _distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
+def shutdown() -> None:
+    """Explicit, synchronized teardown of the distributed runtime. JAX also
+    shuts down at interpreter exit, but that path races: the coordination
+    service's shutdown barrier times out when process teardown is skewed
+    (measured: a 4-process CPU rehearsal on the 1-core host passed every
+    leg, then died with "Shutdown barrier ... 1/4 reached" because worker 0
+    exited minutes before the others). Call this right after a final
+    `barrier()` so every process enters the shutdown barrier together.
+    Idempotent; single-process runs no-op."""
+    global _INITIALIZED
+    if jax.process_count() > 1:
+        jax.distributed.shutdown()
+    _INITIALIZED = False
 
 
 def barrier(name: str = "fpg_barrier") -> None:

@@ -155,6 +155,11 @@ class SamplerServer:
         # the request batch (more chips on one image)
         self.parallel_window = int(parallel_window)
         self.parallel_tolerance = float(parallel_tolerance)
+        if scheduler not in ("ddpm", "dpm"):
+            raise ValueError(
+                f"unknown scheduler {scheduler!r}: serving supports 'ddpm' "
+                "(exact 30-step path) or 'dpm' (few-step DPM-Solver++)"
+            )
         if self.parallel_window > 0 and scheduler != "ddpm":
             raise ValueError("parallel_window requires the ddpm scheduler")
         # opt-in guidance interval (arXiv:2404.07724): CFG only at step

@@ -142,8 +142,12 @@ def test_rejects_uncomposable_modes():
     pipe = _pipe()
     with pytest.raises(ValueError, match="deepcache"):
         RollingServer(pipe, deepcache_interval=3, **KW)
-    with pytest.raises(ValueError, match="ddpm"):
-        RollingServer(pipe, scheduler="dpm", **KW)
+    # "dpm" became a first-class rolling scheduler in round 4 (`_tick_dpm`
+    # with per-slot multistep history) — constructing must NOT raise now.
+    srv = RollingServer(pipe, scheduler="dpm", **KW)
+    srv.shutdown()
+    with pytest.raises(ValueError, match="scheduler"):
+        RollingServer(pipe, scheduler="euler-nope", **KW)
 
 
 def test_mesh_dp_rolling_matches_single_device():
