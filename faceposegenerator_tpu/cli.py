@@ -925,10 +925,15 @@ def cmd_parity_all(argv):
     ap.add_argument("--arcface_network", default="r100")
     ap.add_argument("--report_prompts", action="append", default=[],
                     help="accel-report prompts (default: one face portrait)")
-    ap.add_argument("--min_psnr", type=float, default=25.0,
-                    help="quality gate: preset mean PSNR vs exact (dB)")
-    ap.add_argument("--min_identity_cos", type=float, default=0.90,
-                    help="quality gate: preset mean ArcFace cosine vs exact")
+    ap.add_argument("--min_psnr", type=float, default=None,
+                    help="ABSOLUTE PSNR gate override (dB) for every preset. "
+                         "Default: floor-relative per-preset gates — mean "
+                         "PSNR >= seed_floor + Preset.gate_psnr_margin_db, "
+                         "where seed_floor is the unrelated-sample PSNR "
+                         "measured on THESE weights (exact seed vs seed+1)")
+    ap.add_argument("--min_identity_cos", type=float, default=None,
+                    help="ArcFace-cosine gate override for every preset "
+                         "(default: Preset.gate_min_identity_cos, 0.90)")
     args = ap.parse_args(argv)
 
     import tempfile
@@ -984,19 +989,36 @@ def cmd_parity_all(argv):
             for p in args.report_prompts:
                 rep_args += ["--prompt", p]
             out = os.path.join(td, "report.json")
-            cmd_accel_report(rep_args + ["--output", out])
+            cmd_accel_report(rep_args + ["--seed_floor", "--output", out])
             rep = json.load(open(out))
+            floor = (rep.get("seed_floor") or {}).get("psnr_mean")
             gates = {}
             for name in sorted(PRESETS):
-                spec = PRESETS[name].mode_spec()
+                preset = PRESETS[name]
+                spec = preset.mode_spec()
                 m = rep["modes"][spec]
+                if args.min_psnr is not None:
+                    thr = args.min_psnr  # explicit absolute override
+                elif floor is not None:
+                    # floor-relative: the gate the evidence supports — the
+                    # preset must beat "a different image entirely" by its
+                    # shipped margin, on WHATEVER weights this runs on
+                    thr = floor + preset.gate_psnr_margin_db
+                else:
+                    thr = 25.0  # no floor measurable (shouldn't happen)
                 ok = (m["psnr_mean"] is None  # bit-identical: trivially ok
-                      or m["psnr_mean"] >= args.min_psnr)
+                      or m["psnr_mean"] >= thr)
+                cos_thr = (args.min_identity_cos
+                           if args.min_identity_cos is not None
+                           else preset.gate_min_identity_cos)
                 if "identity_cos_mean" in m:
-                    ok = ok and m["identity_cos_mean"] >= args.min_identity_cos
+                    ok = ok and m["identity_cos_mean"] >= cos_thr
                 gates[name] = {"mode": spec, "pass": bool(ok),
                                "psnr_mean": m["psnr_mean"],
-                               "identity_cos_mean": m.get("identity_cos_mean")}
+                               "psnr_threshold": round(thr, 2),
+                               "seed_floor_psnr": floor,
+                               "identity_cos_mean": m.get("identity_cos_mean"),
+                               "identity_cos_threshold": cos_thr}
                 passes.append(bool(ok))
             verdict["legs"]["preset_quality"] = {"gates": gates, "report": rep}
 
@@ -1211,6 +1233,12 @@ def cmd_accel_report(argv):
              "mode spec measuring EXACTLY that stack (Preset.mode_spec()); "
              "repeatable, composable with --mode",
     )
+    ap.add_argument(
+        "--seed_floor", action="store_true",
+        help="also report the unrelated-sample PSNR floor (exact at seed vs "
+             "exact at seed+1) — the reference point mode PSNRs are read "
+             "against; parity-all's floor-relative preset gates need it",
+    )
     ap.add_argument("--output", default=None, help="write the report JSON here (also printed)")
     args = ap.parse_args(argv)
     if args.preset:
@@ -1233,8 +1261,12 @@ def cmd_accel_report(argv):
         from .bridge.torch_weights import convert_iresnet_state_dict, load_torch_pth
         from .models import iresnet
 
+        raw = load_torch_pth(args.arcface_pth)
+        for container in ("state_dict", "backbone", "model"):
+            if container in raw and isinstance(raw[container], dict):
+                raw = raw[container]
         cfg = iresnet.config_for(args.arcface_network)
-        ap_, st_ = convert_iresnet_state_dict(load_torch_pth(args.arcface_pth))
+        ap_, st_ = convert_iresnet_state_dict(raw, cfg)
         embed_fn = make_embed_fn_u8(ap_, st_, cfg)
 
     prompts = args.prompt or ["photo of a person, portrait, high quality"]
@@ -1242,6 +1274,7 @@ def cmd_accel_report(argv):
         pipe, args.mode, prompts=prompts, seed=args.seed,
         num_inference_steps=args.steps, guidance_scale=args.guidance,
         height=args.height, width=args.width, embed_fn=embed_fn,
+        seed_floor=args.seed_floor,
     )
     out = json.dumps(report, indent=2)
     print(out)

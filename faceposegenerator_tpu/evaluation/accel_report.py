@@ -175,10 +175,19 @@ def compare_modes(
     height: int = 512,
     width: int = 512,
     embed_fn=None,
+    seed_floor: bool = False,
 ) -> dict:
     """Render (prompts, seed) exact and under each mode spec; see module
     docstring for the report schema. `embed_fn` (from `make_embed_fn_u8`)
-    enables the identity-cosine rows."""
+    enables the identity-cosine rows.
+
+    `seed_floor=True` adds `report["seed_floor"]`: the PSNR between the
+    exact output and a SECOND exact render at seed+1 — i.e. the PSNR of
+    UNRELATED samples from the same model. Mode PSNRs only carry meaning
+    relative to this floor (a mode at floor+0 dB is as wrong as a
+    different image; quality gates should demand a margin ABOVE it), and
+    it self-calibrates on whatever weights the report runs on — random
+    probe weights and real checkpoints alike (VERDICT r4 #4)."""
     gen_kw = dict(
         num_inference_steps=num_inference_steps, guidance_scale=guidance_scale,
         height=height, width=width, seed=seed, output_type="u8",
@@ -205,6 +214,15 @@ def compare_modes(
         "exact": {"batch_s": round(exact_s, 3)},
         "modes": {},
     }
+    if seed_floor:
+        other = np.asarray(pipe(**{**gen_kw, "seed": seed + 1}))
+        fl_psnr, _ = _psnr(exact, other)
+        fl_finite = [v for v in fl_psnr if v is not None]
+        report["seed_floor"] = {
+            "psnr_min": min(fl_finite) if fl_finite else None,
+            "psnr_mean": round(float(np.mean(fl_finite)), 2) if fl_finite else None,
+            "seeds": [seed, seed + 1],
+        }
     calib_kw = dict(height=height, width=width, guidance_scale=guidance_scale)
     if input_ids is not None:
         calib_kw["input_ids"] = jnp.asarray(input_ids)

@@ -61,6 +61,16 @@ class Preset:
     cfg_interval: Optional[Tuple[int, int]] = None
     quantize: Optional[str] = None  # "w8a8" | "w8a8+vae"
     quant_calibrate_steps: int = 0
+    # Quality gate (cli parity-all): the preset's accel-report mean PSNR
+    # must clear `seed_floor + gate_psnr_margin_db`, where seed_floor is
+    # the PSNR between two exact renders at DIFFERENT seeds — the
+    # unrelated-sample floor measured on the SAME weights the report runs
+    # on. Floor-relative gates are the only form the available evidence
+    # supports (VERDICT r4 #4): absolute dB thresholds calibrated on
+    # random probe weights do not transfer to real checkpoints, but the
+    # margin above "a different image entirely" does.
+    gate_psnr_margin_db: float = 3.0
+    gate_min_identity_cos: float = 0.90
     note: str = ""
 
     def sample_kwargs(self) -> dict:

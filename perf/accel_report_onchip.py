@@ -27,16 +27,29 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", action="append", required=True,
+    ap.add_argument("--mode", action="append", default=None,
                     help="accel_report mode spec (repeatable; one process "
-                         "compiles exact once and reuses it across modes)")
+                         "compiles exact once and reuses it across modes). "
+                         "Optional when --floor is given.")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="perf/r4e_quality.jsonl")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--qtag", default=None,
+                    help="tag written into every emitted row — queue scripts "
+                         "key resume-skips on it (VERDICT r4 #5)")
+    ap.add_argument("--floor", action="store_true",
+                    help="also emit the random-weights PSNR calibration "
+                         "brackets: exact(seed) vs exact(seed+1) — the "
+                         "UNRELATED-sample floor any mode PSNR must be read "
+                         "against — plus an exact re-run bit-identity sanity "
+                         "row (VERDICT r4 #4)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model configs on CPU (script smoke test only)")
     args = ap.parse_args()
+    if not args.mode and not args.floor:
+        ap.error("pass at least one --mode, or --floor")
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -71,14 +84,45 @@ def main():
     vocab = models.text_cfg.vocab_size
     input_ids = jax.random.randint(jax.random.key(7), (args.batch, 77), 0, vocab)
 
-    report = compare_modes(
-        pipe, args.mode, input_ids=input_ids, seed=0,
-        num_inference_steps=args.steps, height=args.size, width=args.size,
-    )
     dev = jax.devices()[0]
-    with open(args.out, "a") as f:
+    rows = []
+
+    if args.floor:
+        import numpy as np
+
+        from faceposegenerator_tpu.evaluation.accel_report import _psnr
+
+        gen_kw = dict(
+            input_ids=input_ids, num_inference_steps=args.steps,
+            guidance_scale=5.0, height=args.size, width=args.size,
+            output_type="u8",
+        )
+        a = np.asarray(pipe(**gen_kw, seed=args.seed))
+        a2 = np.asarray(pipe(**gen_kw, seed=args.seed))  # determinism sanity
+        b = np.asarray(pipe(**gen_kw, seed=args.seed + 1))
+        psnr_ab, _ = _psnr(a, b)
+        _, mse_aa = _psnr(a, a2)
+        finite = [v for v in psnr_ab if v is not None]
+        rows.append({
+            "metric": f"accel-report PSNR floor calibration ({args.size}x"
+                      f"{args.size}, {args.steps}-step exact, bf16, random "
+                      "weights): exact(seed) vs exact(seed+1) = PSNR of "
+                      "UNRELATED samples — the scale bottom for mode PSNRs",
+            "mode": "__seed_floor__",
+            "psnr_min": min(finite) if finite else None,
+            "psnr_mean": round(float(sum(finite) / len(finite)), 2) if finite else None,
+            "rerun_identical_frac": round(float((mse_aa == 0.0).mean()), 3),
+            "seed": args.seed,
+            "device": getattr(dev, "device_kind", str(dev)),
+        })
+
+    if args.mode:
+        report = compare_modes(
+            pipe, args.mode, input_ids=input_ids, seed=args.seed,
+            num_inference_steps=args.steps, height=args.size, width=args.size,
+        )
         for spec, entry in report["modes"].items():
-            row = {
+            rows.append({
                 "metric": f"accel-report PSNR vs exact ({args.size}x{args.size}, "
                           f"{args.steps}-step ddpm exact ref, bf16, random weights)",
                 "mode": spec,
@@ -88,7 +132,15 @@ def main():
                 "mode_batch_s": entry.get("batch_s"),
                 "exact_batch_s": report["exact"]["batch_s"],
                 "device": getattr(dev, "device_kind", str(dev)),
-            }
+            })
+
+    with open(args.out, "a") as f:
+        for row in rows:
+            if args.qtag:
+                row["qtag"] = args.qtag
+            if args.batch != 2 or args.size != 512:
+                row["probe_batch"] = args.batch
+                row["probe_size"] = args.size
             f.write(json.dumps(row) + "\n")
             print(json.dumps(row))
 

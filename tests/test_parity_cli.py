@@ -264,11 +264,27 @@ def test_parity_all_runbook(tmp_path):
     with open(tok / "merges.txt", "w") as f:
         f.write("#version: 0.2\n")
 
+    # a random iresnet18 .pth so the preset-quality identity-cosine rows
+    # execute end to end BEFORE real weights land (VERDICT r4 #4)
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from ArcFace_files.backbones import iresnet as torch_iresnet
+
+    torch.manual_seed(1)
+    torch.save(torch_iresnet.iresnet18(num_features=512).state_dict(),
+               str(root / "arcface.pth"))
+
     out = str(tmp_path / "verdict.json")
     rc = main([
         "parity-all", "--weights_root", str(root),
         "--steps", "3", "--report_steps", "21", "--resolution", "64",
-        "--min_psnr", "5.0",  # random tiny weights: gate only sanity here
+        "--arcface_network", "r18",
+        # PSNR gates stay at their shipped floor-relative defaults — the
+        # presets must clear them even on random weights (VERDICT r4 #4);
+        # identity-cos is overridden because a RANDOM ArcFace's cosine
+        # between two renders is arbitrary (the rows still execute).
+        "--min_identity_cos", "-1.0",
         "--output", out,
     ])
     assert rc == 0
@@ -276,9 +292,21 @@ def test_parity_all_runbook(tmp_path):
     assert set(verdict["legs"]) == {"parity", "preset_quality"}
     assert verdict["legs"]["parity"]["full_chain"]["pass"] is True
     gates = verdict["legs"]["preset_quality"]["gates"]
-    assert set(gates) == {"turbo", "latency"}
+    # EVERY shipped preset must appear in the runbook verdict — a preset
+    # bump cannot silently detach the day-one gate (VERDICT r4 #7)
+    from faceposegenerator_tpu.pipelines.presets import PRESETS
+
+    assert set(gates) == set(PRESETS)
     for g in gates.values():
         assert g["psnr_mean"] is None or g["psnr_mean"] > 0
-    assert any("arcface" in s for s in verdict["skipped"])
+        # floor-relative gating: the floor was measured on these weights
+        # and every shipped preset clears its margin even on random ones
+        assert g["seed_floor_psnr"] is not None
+        assert g["psnr_threshold"] == pytest.approx(
+            g["seed_floor_psnr"], abs=10.0)  # floor + a few dB margin
+        assert g["pass"] is True, g
+        cos = g.get("identity_cos_mean")
+        assert cos is not None and -1.0 <= cos <= 1.0 + 1e-6
+    assert not any("arcface" in s for s in verdict["skipped"])
     assert any("mtcnn" in s for s in verdict["skipped"])
     assert isinstance(verdict["pass"], bool)
