@@ -13,15 +13,22 @@ from faceposegenerator_tpu.models import clip_text, unet2d, vae, iresnet
 from faceposegenerator_tpu.training import idbooth, idbooth_driver, multi_identity
 
 
+# Minimum shapes that still exercise every code path: the invariants under
+# test are structural (no cross-talk across vmap lanes, vmap==serial,
+# lane-sharding over a mesh) and do not depend on model size — this file
+# timed out at 40 min on the 1-CPU host with SD-like tiny configs (round-4
+# durations run), entirely XLA compile time, so every dimension is floored.
 TINY = idbooth.ModelBundle(
     text_cfg=clip_text.CLIPTextConfig(
-        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64
+        vocab_size=64, hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32
     ),
     unet_cfg=unet2d.UNetConfig(
-        block_out_channels=(32, 64, 64, 64), cross_attention_dim=32, head_dim=8
+        block_out_channels=(16, 16), down_block_has_attn=(True, False),
+        layers_per_block=1, norm_groups=8, cross_attention_dim=16, head_dim=8,
     ),
-    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32, 32, 32)),
-    arcface_cfg=iresnet.config_for("r18", num_features=64),
+    # VAE group norm is fixed at 32 groups (SD semantics) — channels >= 32.
+    vae_cfg=vae.VAEConfig(block_out_channels=(32, 32), layers_per_block=1),
+    arcface_cfg=iresnet.IResNetConfig(depths=(1, 1, 1, 1), num_features=64),
 )
 
 
@@ -35,7 +42,7 @@ def _frozen():
     }
 
 
-def _batch(seed, n=2, res=64):
+def _batch(seed, n=2, res=32):
     return {
         "pixel_values": jax.random.uniform(
             jax.random.key(seed), (n, res, res, 3), minval=-1, maxval=1
@@ -61,7 +68,7 @@ def test_multi_step_matches_independent_runs():
     LoRA leaves after the optimizer (loose — see below)."""
     from faceposegenerator_tpu.diffusion import make_ddpm
 
-    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=64)
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=32)
     frozen = _frozen()
     opt = idbooth.make_optimizer(cfg, total_steps=4)
 
@@ -155,7 +162,7 @@ def test_multi_step_matches_independent_runs():
     assert any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
 
 
-def _identity_tree(tmp_path, names, n=2, res=64):
+def _identity_tree(tmp_path, names, n=2, res=32):
     from PIL import Image
 
     rng = np.random.default_rng(0)
@@ -175,7 +182,7 @@ def _identity_tree(tmp_path, names, n=2, res=64):
 def test_run_identities_vmapped_driver_matches_serial(tmp_path):
     src, cls = _identity_tree(tmp_path, ["id_1", "id_2"])
     cfg = idbooth.IDBoothConfig(
-        which_loss="triplet_prior", resolution=64, num_train_epochs=2,
+        which_loss="triplet_prior", resolution=32, num_train_epochs=2,
         checkpointing_epochs=1, validation_epochs=99, train_batch_size=1,
     )
     frozen = _frozen()
@@ -218,7 +225,7 @@ def test_identity_axis_sharded_matches_unsharded():
     from faceposegenerator_tpu.core.mesh import make_mesh
 
     K = 4
-    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=64)
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=32)
     frozen = _frozen()
     opt = idbooth.make_optimizer(cfg, total_steps=4)
     t0 = idbooth.init_trainable(jax.random.key(cfg.seed), cfg, TINY, frozen["unet"])
@@ -260,7 +267,7 @@ def test_sweep_vmapped_grouping(tmp_path):
     in one vmapped group; ragged leftovers fall back to serial."""
     src, cls = _identity_tree(tmp_path, ["id_1", "id_2", "id_3"])
     cfg = idbooth.IDBoothConfig(
-        which_loss="triplet_prior", resolution=64, num_train_epochs=1,
+        which_loss="triplet_prior", resolution=32, num_train_epochs=1,
         checkpointing_epochs=1, validation_epochs=99, train_batch_size=1,
         losses_to_test=("triplet_prior",),
     )
@@ -278,16 +285,18 @@ def test_sweep_vmapped_grouping(tmp_path):
 
 
 def test_identity_vmap_composes_with_mesh_dp():
-    """VERDICT r3 #7: MORE identities than devices — K=8 sharded over a
-    4-device "data" mesh runs vmap(2) per device. Per-identity losses must
+    """VERDICT r3 #7: MORE identities than devices — K=4 sharded over a
+    2-device "data" mesh runs vmap(2) per device. Per-identity losses must
     equal the single-device vmapped step's (which itself equals serial runs
     — test_multi_step_matches_independent_runs), so the sweep scales past
     the measured per-chip vmap ceiling (K=4 on v5e, STATUS.md) by adding
-    chips, zero collectives."""
+    chips, zero collectives. (K was 8 over 4 devices; halved for compile
+    time on the 1-CPU host — the 2-lanes-per-device composition is the
+    invariant, not the lane count.)"""
     from faceposegenerator_tpu.core.mesh import make_mesh, replicate
 
-    K, n_dev = 8, 4
-    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=64)
+    K, n_dev = 4, 2
+    cfg = idbooth.IDBoothConfig(which_loss="triplet_prior", resolution=32)
     frozen = _frozen()
     opt = idbooth.make_optimizer(cfg, total_steps=4)
     t0 = idbooth.init_trainable(jax.random.key(cfg.seed), cfg, TINY, frozen["unet"])
