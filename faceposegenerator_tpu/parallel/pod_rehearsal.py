@@ -70,7 +70,9 @@ def run_worker(process_id: int, num_processes: int, local_devices: int,
     jax.config.update("jax_compilation_cache_dir", machine_scoped_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from ..core.dist import barrier, init_distributed, is_coordinator
+    from ..core.dist import (barrier, coordination_barrier, init_distributed,
+                             is_coordinator)
+    from ..core.dist import shutdown as dist_shutdown
     from ..core.mesh import form_global_batch, host_row_slice, make_mesh, replicate
     from ..core.precision import PARITY_POLICY
     from ..core.checkpointing import CheckpointManager
@@ -133,6 +135,48 @@ def run_worker(process_id: int, num_processes: int, local_devices: int,
         "gt_embeds": np.asarray(jax.random.normal(
             jax.random.key(12), (rows, 64))),
     }
+    # Establish every Gloo clique this body will use WHILE the processes
+    # are aligned. Gloo context init has a fixed ~30 s key-value timeout,
+    # paid per device-set (clique) at that clique's FIRST collective — which
+    # normally fires right after each program's big jit compile, and compile
+    # skew on an oversubscribed host exceeds 30 s (measured: 2- and
+    # 4-process rehearsals died with "Gloo context initialization failed:
+    # GetKeyValue() timed out" at the first train-step materialization even
+    # with a pre-compile coordination barrier). Fix: AOT-compile tiny psums
+    # over each mesh-axis combination (covers the per-column "data" cliques,
+    # the intra-host "model" cliques, and the full-device clique every later
+    # collective reuses), align on a control-plane barrier, THEN run them —
+    # the KV exchanges happen milliseconds apart, and every subsequent
+    # program (train step, allgather, sampler, rolling ticks, checkpoint
+    # barrier) hits warm cliques regardless of its own compile skew.
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    warmups = []
+    for axes in (("data",), ("model",), ("data", "model")):
+        if any(mesh.shape[a] == 1 for a in axes):
+            continue
+        n = int(np.prod([mesh.shape[a] for a in axes]))
+        spec = PartitionSpec(axes if len(axes) > 1 else axes[0])
+        fn = jax.jit(
+            shard_map(lambda x, a=axes: jax.lax.psum(x, a), mesh=mesh,
+                      in_specs=(spec,), out_specs=spec),
+            in_shardings=(NamedSharding(mesh, spec),),
+        )
+        # assemble the input from LOCAL shards — jax.device_put of a host
+        # array onto a multi-process sharding runs its own assert_equal
+        # allgather, which would be an unaligned collective before the
+        # barrier (measured: it died with the very KV timeout this block
+        # exists to prevent)
+        host = np.ones((n,), np.float32)
+        x = jax.make_array_from_callback(
+            (n,), NamedSharding(mesh, spec), lambda idx: host[idx])
+        warmups.append((fn.lower(x).compile(), x))
+    coordination_barrier("pre_first_collective")
+    for compiled, x in warmups:
+        # local-shard fetch blocks: the clique KV exchange happens here
+        np.asarray(compiled(x).addressable_data(0))
+
     sl = host_row_slice(rows, num_processes, process_id)
     batch = form_global_batch(mesh, {k: v[sl] for k, v in gb.items()})
 
@@ -197,6 +241,63 @@ def run_worker(process_id: int, num_processes: int, local_devices: int,
     img_mean = float(jnp.mean(imgs))
     assert imgs.shape == (n_data, 64, 64, 3) and jnp.isfinite(img_mean)
 
+    # rolling-serving leg (VERDICT r4 #6): drive the RollingServer's tick
+    # programs (`serving/rolling._admit/_tick/_decode1`) directly over the
+    # SAME multi-process mesh with a deterministic admission schedule.
+    # Multi-controller SPMD requires every process to issue identical
+    # programs in lockstep — the threaded server admits on wall clock, so a
+    # real pod deployment drives ticks from a coordinator-fixed schedule
+    # exactly like this (slot 0 admitted at tick 0, the rest mid-flight at
+    # tick 1 — the dirty-slot admission the single-process parity test in
+    # tests/test_rolling.py covers).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..serving.rolling import _admit, _decode1, _tick
+
+    def _pl(x, batch_dim=0):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*([None] * batch_dim + ["data"])))
+        )
+
+    S_r, B_r, h8 = 2, n_data, 64 // 8
+    roll_sched = make_ddpm(num_inference_steps=S_r)
+    ctx_dim = bundle.text_cfg.hidden_size
+    ctx_buf = _pl(jnp.zeros((2 * B_r, 77, ctx_dim), jnp.float32))
+    noise_buf = _pl(jnp.zeros((S_r + 1, B_r, h8, h8, 4), jnp.float32), batch_dim=1)
+    latents = _pl(jnp.zeros((B_r, h8, h8, 4), jnp.float32))
+    steps_host = [S_r] * B_r
+    step_dev = _pl(jnp.asarray(steps_host, jnp.int32))
+    static = dict(models=models, policy=PARITY_POLICY, S=S_r)
+    for tick in range(S_r + 2):
+        admit_now = [0] if tick == 0 else (list(range(1, B_r)) if tick == 1 else [])
+        for slot in admit_now:
+            ids = jnp.asarray(np.asarray(jax.random.randint(
+                jax.random.key(30 + slot), (1, 77), 0, 64)))
+            ctx_buf, noise_buf, latents = _admit(
+                sp["text_encoder"], ids, jnp.zeros_like(ids),
+                jnp.uint32(slot), jnp.int32(slot),
+                ctx_buf, noise_buf, latents, None, jnp.float32(0.0),
+                **static,
+            )
+            steps_host[slot] = 0
+        if admit_now:
+            step_dev = _pl(jnp.asarray(steps_host, jnp.int32))
+        latents, step_dev = _tick(
+            sp, roll_sched, latents, step_dev, ctx_buf, noise_buf,
+            None, jnp.float32(1.0),
+            guidance_scale=5.0, **static,
+        )
+        steps_host = [s + 1 if s < S_r else s for s in steps_host]
+    assert all(s >= S_r for s in steps_host), steps_host
+    lat0 = jax.device_put(latents[0], NamedSharding(mesh, P()))
+    roll_img = np.asarray(_decode1(
+        sp["vae"], lat0, models=models, policy=PARITY_POLICY))
+    roll_mean = float(roll_img.mean())
+    assert np.isfinite(roll_mean), roll_mean
+    roll_all = np.asarray(multihost_utils.process_allgather(
+        np.asarray([roll_mean], np.float32)))
+    assert np.all(roll_all == roll_all[0]), roll_all
+
     barrier("done")
     verdict = {
         "process": process_id,
@@ -207,9 +308,14 @@ def run_worker(process_id: int, num_processes: int, local_devices: int,
         "loss2": loss2,
         "loss2_restored": loss2r,
         "sample_mean": img_mean,
+        "rolling_mean": roll_mean,
         "ok": True,
     }
     print("POD_REHEARSAL " + json.dumps(verdict), flush=True)
+    # synchronized teardown: the atexit shutdown path raced on teardown
+    # skew (4-process run died at the implicit shutdown barrier after
+    # passing every leg) — see core/dist.shutdown
+    dist_shutdown()
     return verdict
 
 
@@ -222,27 +328,38 @@ def launch(num_processes: int, local_devices: int, port: int,
     """Spawn `num_processes` worker processes on this host and verify all
     verdicts agree. Returns the merged verdict dict."""
     with tempfile.TemporaryDirectory() as ckpt_dir:
-        procs = []
+        # Each worker's merged stdout/stderr goes to a FILE, not a pipe:
+        # with pipes, reading worker 0 first deadlocks when a later worker
+        # fills the OS pipe buffer (JAX compile chatter) and blocks on
+        # write inside a collective worker 0 is also in (ADVICE r4).
+        procs, logs = [], []
         for i in range(num_processes):
             env = dict(os.environ)
             env.pop("XLA_FLAGS", None)  # worker sets its own device count
+            log = open(os.path.join(ckpt_dir, f"worker{i}.log"), "w+")
+            logs.append(log)
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "faceposegenerator_tpu.parallel.pod_rehearsal",
                  "--worker", "--process_id", str(i),
                  "--processes", str(num_processes),
                  "--local_devices", str(local_devices),
                  "--port", str(port), "--ckpt_dir", ckpt_dir],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                stdout=log, stderr=subprocess.STDOUT,
                 text=True, env=env,
             ))
         verdicts, outputs = [], []
-        for p in procs:
+        for p, log in zip(procs, logs):
             try:
-                out, _ = p.communicate(timeout=timeout)
+                p.wait(timeout=timeout)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
+                for lg in logs:
+                    lg.close()
                 raise RuntimeError("pod rehearsal worker timed out")
+            log.seek(0)
+            out = log.read()
+            log.close()
             outputs.append(out)
             for line in out.splitlines():
                 if line.startswith("POD_REHEARSAL "):
