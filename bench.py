@@ -90,8 +90,8 @@ def exact_path_context(value_img_s: float, is_exact_default: bool) -> dict:
         # the default line measures the EXACT path; the opt-in quality-gated
         # presets were measured separately (same chip, 5-repeat) — recorded
         # here so one JSON line carries the whole picture
-        ctx["preset_turbo_measured_img_s"] = 7.663  # perf/r4d_queue.jsonl (dpm15 stack)
-        ctx["preset_latency_measured_s_per_img"] = 0.364  # perf/r3as_queue.jsonl
+        ctx["preset_turbo_measured_img_s"] = 10.117  # perf/r5a_queue.jsonl (dpm12xdc4 stack)
+        ctx["preset_latency_measured_s_per_img"] = 0.262  # perf/r4i_queue.jsonl (dpm20 stack)
         ctx["presets"] = "BENCH_PRESET=turbo|latency re-measures (pipelines/presets.py)"
     return ctx
 

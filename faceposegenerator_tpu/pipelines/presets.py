@@ -20,19 +20,25 @@ preset is an explicit, named opt-in.
 Measured anchors (v5e-lite single chip, exact default 2.086 img/s,
 exact batch-1 latency 0.608 s):
 
-  turbo    throughput stack — DPM-Solver++ 15 steps x DeepCache-3 x
-           guidance interval (2,10) x w8a8 int8 UNet (static act scales)
-           x int8 VAE decode body. Measured **7.663 img/s (3.67x the
-           2.088 same-day exact control)** in `perf/r4d_queue.jsonl`,
-           with quality AT PARITY with the previous DPM-20 turbo on the
-           on-chip probe (18.26 vs 18.19 dB PSNR-vs-exact, same inputs,
-           `perf/r4i_quality.jsonl`) — the step frontier dominated every
-           other lever (dpm20 full cross: 6.254, `perf/r4a_queue.jsonl`;
-           4.768 was the round-3 best without the VAE/interval legs).
-  latency  batch-1 stack — 30-step DDPM x DeepCache-3 x guidance
-           interval (5,20), bf16 (quantization is a THROUGHPUT lever:
-           batch-1 w8a8 measured negative-to-neutral, perf/r3as).
-           0.354 s/img vs 0.608 exact (`perf/r3an_queue.jsonl`).
+  turbo    throughput stack — DPM-Solver++ 12 steps x DeepCache-4 x
+           guidance interval (2,8) x w8a8 int8 UNet (static act scales)
+           x int8 VAE decode body. Measured **10.117 img/s (4.85x the
+           2.087 same-day exact control)** in `perf/r5a_queue.jsonl`,
+           with quality AT PARITY with the previous DPM-15 turbo on both
+           the single- and multi-prompt on-chip probes (18.15/18.03 vs
+           18.26/18.14 dB PSNR-vs-exact, ~5 dB above the 12.96 dB
+           unrelated-sample floor, `perf/r5a_quality.jsonl`) — the step
+           frontier dominated every other lever (dpm15 cross: 7.978,
+           `perf/r4i_queue.jsonl`; dc5 measured WORSE at 9.858 so dc4 is
+           the depth optimum; int8 flash attention and bs16 both
+           measured negative at this op point, `perf/r5a_queue.jsonl`).
+  latency  batch-1 stack — DPM-Solver++ 20 steps x DeepCache-3 x
+           guidance interval (3,13), bf16 (quantization is a THROUGHPUT
+           lever: batch-1 w8a8 measured negative-to-neutral, perf/r3as).
+           0.262 s/img vs 0.608 exact (`perf/r4i_queue.jsonl`); the
+           previous DDPM-30 stack (0.356, probe 26.32 dB vs this one's
+           18.33) stays reachable via manual knobs for callers that
+           want nearer-exact renders.
 """
 
 from __future__ import annotations
@@ -137,28 +143,36 @@ PRESETS: Dict[str, Preset] = {
     "turbo": Preset(
         name="turbo",
         scheduler="dpm",
-        steps=15,
-        deepcache_interval=3,
-        cfg_interval=(2, 10),
+        steps=12,
+        deepcache_interval=4,
+        cfg_interval=(2, 8),
         quantize="w8a8+vae",
         quant_calibrate_steps=8,
-        note="throughput champion: DPM++(15) x DeepCache-3 x "
-             "cfg_interval(2,10) x static-w8a8 x int8-VAE; 7.663 img/s "
-             "measured (3.67x the 2.088 same-day exact control, "
-             "perf/r4d_queue.jsonl dpm15_dc3_civ_quant; quality at parity "
-             "with the previous DPM-20 stack on the on-chip probe, "
-             "perf/r4i_quality.jsonl)",
+        note="throughput champion: DPM++(12) x DeepCache-4 x "
+             "cfg_interval(2,8) x static-w8a8 x int8-VAE; 10.117 img/s "
+             "measured (4.85x the 2.087 same-day exact control, "
+             "perf/r5a_queue.jsonl dpm12_dc4_civ_quant; dc5 measured "
+             "WORSE at 9.858, dc4 is the depth optimum). Quality at "
+             "parity with the previous DPM-15 stack on both the single- "
+             "and multi-prompt on-chip probes: 18.15/18.03 dB mean vs "
+             "18.26/18.14, both ~5 dB above the 12.96 dB unrelated-"
+             "sample floor (perf/r5a_quality.jsonl q1/q2)",
     ),
     "latency": Preset(
         name="latency",
-        scheduler="ddpm",
-        steps=30,
+        scheduler="dpm",
+        steps=20,
         deepcache_interval=3,
-        cfg_interval=(5, 20),
-        note="batch-1 p50 champion: DDPM-30 x DeepCache-3 x "
-             "cfg_interval(5,20), bf16; 0.354 s/img vs 0.608 exact "
-             "(perf/r3an_queue.jsonl; w8a8 at batch 1 is neutral-to-"
-             "negative so the latency preset stays unquantized)",
+        cfg_interval=(3, 13),
+        note="batch-1 p50 champion: DPM++(20) x DeepCache-3 x "
+             "cfg_interval(3,13), bf16; 0.262 s/img vs 0.356 for the "
+             "previous DDPM-30 stack and 0.608 exact (perf/r4i_queue.jsonl "
+             "latency_dpm20_dc3_civ; batch-1 quality probe 18.33 dB vs "
+             "the 12.93 floor, perf/r5a_quality.jsonl q3 — same band as "
+             "turbo; the prior DDPM-30 stack probes 26.32 and remains one "
+             "flag away via manual turbo knobs for callers that want "
+             "nearer-exact renders). w8a8 at batch 1 is neutral-to-"
+             "negative so the latency preset stays unquantized",
     ),
 }
 
