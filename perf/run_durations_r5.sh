@@ -15,7 +15,14 @@
 cd /root/repo
 LOGS=perf/durations_r5
 mkdir -p "$LOGS"
-for f in tests/test_*.py; do
+# Priority order: files alphabetically AFTER test_full_chain_parity.py
+# first — that is exactly the range whose r4 logs were lost (the merged
+# slow_tests.json covers the early range), so fresh coverage lands there
+# before re-measuring files the base already times. Idempotent resume
+# (non-empty log => skip) is unaffected by the ordering.
+FILES=$( { ls tests/test_*.py | awk '$0 > "tests/test_full_chain_parity.py"'; \
+           ls tests/test_*.py | awk '$0 <= "tests/test_full_chain_parity.py"'; } )
+for f in $FILES; do
   name=$(basename "$f" .py)
   [[ -s "$LOGS/$name.log" ]] && continue
   nice -n 19 timeout 3000 python -m pytest "$f" -q --durations=0 \
