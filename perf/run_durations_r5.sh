@@ -15,13 +15,34 @@
 cd /root/repo
 LOGS=perf/durations_r5
 mkdir -p "$LOGS"
-# Priority order: files alphabetically AFTER test_full_chain_parity.py
-# first — that is exactly the range whose r4 logs were lost (the merged
-# slow_tests.json covers the early range), so fresh coverage lands there
-# before re-measuring files the base already times. Idempotent resume
-# (non-empty log => skip) is unaffected by the ordering.
-FILES=$( { ls tests/test_*.py | awk '$0 > "tests/test_full_chain_parity.py"'; \
-           ls tests/test_*.py | awk '$0 <= "tests/test_full_chain_parity.py"'; } )
+# Priority order (the run may be cut short by the round boundary; maximise
+# per-file coverage where the base has NONE):
+#   1. late-range files (> test_full_chain_parity alphabetically — the r4
+#      logs for this range were lost) in ASCENDING r4 wall time
+#      (reconstructed from perf/durations_r4/progress.txt deltas): ~20
+#      fast files land in under an hour;
+#   2. late-range files with no r4 timing (new in r5: pod rehearsal, dist
+#      config, preset runbook, …);
+#   3. the late-range heavies (multi_lora 10.6 → quant 31.7 r4-min);
+#   4. the early range, which the merged slow_tests.json already times.
+# Idempotent resume (non-empty log => skip) is unaffected by ordering.
+PRIORITY="test_native_loader test_sweep_driver test_recordio_conditional \
+test_schedulers test_simclr test_unet_vae_torch_parity test_resnet50_mae \
+test_no_recompile test_host_sharding test_tokenizer_pipeline test_serving \
+test_validation_and_pt_embeds test_moco_heatmaps_flops test_ops \
+test_sampler test_sweep_packed test_tensor_parallel test_inception \
+test_parallel_sampler_serving test_rolling test_tome \
+test_sampler_sharded_golden"
+HEAVY="test_multi_identity test_multi_lora test_models test_parity_cli \
+test_parallel_sampler test_idbooth_trainer test_quant"
+FILES=""
+for n in $PRIORITY; do FILES="$FILES tests/$n.py"; done
+# 2: late-range files not named above (new-in-r5 / no r4 timing)
+for f in $(ls tests/test_*.py | awk '$0 > "tests/test_full_chain_parity.py"'); do
+  case " $PRIORITY $HEAVY " in *" $(basename "$f" .py) "*) ;; *) FILES="$FILES $f";; esac
+done
+for n in $HEAVY; do FILES="$FILES tests/$n.py"; done
+FILES="$FILES $(ls tests/test_*.py | awk '$0 <= "tests/test_full_chain_parity.py"')"
 for f in $FILES; do
   name=$(basename "$f" .py)
   [[ -s "$LOGS/$name.log" ]] && continue
